@@ -1,0 +1,60 @@
+"""Error handling.
+
+Mirrors the five semantic error cases of the reference
+(src/error.rs:5-16) as Python exceptions, plus the shared floating point
+comparison margin (src/error.rs:19).
+"""
+
+
+class ContrastError(Exception):
+    """Base class for all renderer errors."""
+
+
+class NumberOfStencilBitsIsUnsupported(ContrastError):
+    """The choice of `clip_nesting_counter_bits` or `winding_counter_bits`
+    is not supported (reference src/error.rs:7)."""
+
+
+class ClipStackOverflow(ContrastError):
+    """Rendering with more than 2**clip_nesting_counter_bits nested clip
+    shapes (reference src/error.rs:9)."""
+
+
+class TooManyNestedOpacityGroups(ContrastError):
+    """Rendering with more than `alpha_layer_count` nested opacity groups
+    (reference src/error.rs:11)."""
+
+
+class TooManyDashIntervals(ContrastError):
+    """Exceeded the maximum number of DashIntervals in DynamicStrokeOptions
+    (reference src/error.rs:13)."""
+
+
+class DynamicStrokeOptionsIndexOutOfBounds(ContrastError):
+    """The passed DynamicStrokeOptions index is invalid
+    (reference src/error.rs:15)."""
+
+
+#: Used for floating point comparison (reference src/error.rs:19).
+ERROR_MARGIN = 1e-4
+
+
+def require_finite(value, name="value"):
+    """Validation at API boundaries, standing in for the reference's
+    SafeFloat finite assertion (src/safe_float.rs:46,114).
+
+    Accepts scalars or nested sequences; raises ValueError on NaN/Inf.
+    Returns the value unchanged for chaining.
+    """
+    import math
+
+    def _check(v):
+        if isinstance(v, (list, tuple)):
+            for item in v:
+                _check(item)
+        else:
+            if not math.isfinite(v):
+                raise ValueError(f"{name} must be finite, got {v!r}")
+
+    _check(value)
+    return value
