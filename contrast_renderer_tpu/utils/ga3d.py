@@ -39,4 +39,8 @@ def normalize4(v):
     ppga3d Rotor holding the inflection-point polynomial coefficients,
     curve.rs:142)."""
     v = np.asarray(v, dtype=np.float64)
-    return v / np.linalg.norm(v, axis=-1, keepdims=True)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        # Zero input propagates NaN, matching the reference's 0/0 behavior
+        # for fully degenerate (collinear) cubics; downstream threshold
+        # comparisons filter these out.
+        return v / np.linalg.norm(v, axis=-1, keepdims=True)
