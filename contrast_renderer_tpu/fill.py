@@ -328,10 +328,13 @@ class FillBuilder:
                 # winding).
                 c0, c1 = segment.control_points
                 last = fan[-1]
+                # The third channel is a constant 1 so the predicate is the
+                # homogeneous x² - y·z form, allowing per-triangle weight
+                # rescaling for float32 conditioning.
                 self._triangles.push(
                     np.stack([last, c0, c1]),
                     KIND_INTEGRAL_QUADRATIC,
-                    aux=np.array([[0.0, 0.0], [0.5, 0.0], [1.0, 1.0]]),
+                    aux=np.array([[0.0, 0.0, 1.0], [0.5, 0.0, 1.0], [1.0, 1.0, 1.0]]),
                 )
                 proto_hull.extend([c0, c1])
                 fan.append(c1)
@@ -540,5 +543,16 @@ class FillBuilder:
         aux = np.stack([w[j] for j in idx])
         if not np.all(np.isfinite(aux)):
             return
-        n_channels = 3 if kind == KIND_INTEGRAL_CUBIC else 4
-        self._triangles.push(tri_xy, kind, aux=aux[:, :n_channels])
+        if kind == KIND_INTEGRAL_CUBIC:
+            # Constant fourth channel: the integral predicate becomes the
+            # homogeneous x³ - y·z·w form (n ≡ 1, curve.rs:133-144 forces
+            # ippc[0]=0 so the n root product is the constant 1).
+            aux = aux.copy()
+            aux[:, 3] = 1.0
+        # Rescale to unit magnitude: the predicates are homogeneous in the
+        # channels, so a positive per-triangle scale preserves the sign of
+        # f while keeping float32 evaluation well conditioned.
+        scale = np.max(np.abs(aux))
+        if scale > 0.0 and np.isfinite(scale):
+            aux = aux / scale
+        self._triangles.push(tri_xy, kind, aux=aux)

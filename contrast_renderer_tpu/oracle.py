@@ -166,9 +166,9 @@ def fill_predicate(kind, aux):
     if kind == KIND_SOLID:
         return np.ones(x.shape, dtype=bool)
     if kind == KIND_INTEGRAL_QUADRATIC:
-        return x * x - y <= 0.0
+        return x * x - y * z <= 0.0  # z ≡ 1 channel (homogeneous form)
     if kind == KIND_INTEGRAL_CUBIC:
-        return x * x * x - y * z <= 0.0
+        return x * x * x - y * z * w <= 0.0  # w ≡ 1 channel
     if kind == KIND_RATIONAL_QUADRATIC:
         return x * x - y * z <= 0.0
     if kind == KIND_RATIONAL_CUBIC:
@@ -207,11 +207,16 @@ def _edge_is_top_left(a, b):
     return (a[1] == b[1] and b[0] > a[0]) or (b[1] > a[1])
 
 
-def _rasterize_one(kind, verts, aux, inv_w, positions):
+def _interpolate(verts, aux, inv_w, positions):
+    """Inside mask and perspective-corrected attributes for one triangle.
+
+    Returns (inside (N,), corrected_aux (N, 4), orientation) or None for
+    degenerate triangles.
+    """
     v0, v1, v2 = verts
     area = (v1[0] - v0[0]) * (v2[1] - v0[1]) - (v1[1] - v0[1]) * (v2[0] - v0[0])
     if area == 0.0 or not np.isfinite(area):
-        return 0
+        return None
     # Orient to counterclockwise in pixel space for the inside test.
     orientation = 1.0 if area > 0 else -1.0
     px, py = positions[:, 0], positions[:, 1]
@@ -226,8 +231,6 @@ def _rasterize_one(kind, verts, aux, inv_w, positions):
         else:
             inside &= e > 0.0
         barycentric.append(e)
-    if not inside.any():
-        return 0
     # Barycentric weights: edge (v1,v2) opposes v0 etc.
     l0 = barycentric[1] / (area * orientation)
     l1 = barycentric[2] / (area * orientation)
@@ -237,8 +240,82 @@ def _rasterize_one(kind, verts, aux, inv_w, positions):
     interp_inv_w = lam @ inv_w
     with np.errstate(divide="ignore", invalid="ignore"):
         corrected = interp_aux / interp_inv_w[:, None]
+    return inside, corrected, orientation
+
+
+def _rasterize_one(kind, verts, aux, inv_w, positions):
+    result = _interpolate(verts, aux, inv_w, positions)
+    if result is None:
+        return 0
+    inside, corrected, orientation = result
     keep = inside & fill_predicate(kind, corrected)
     # Winding contribution: NDC-space orientation = -pixel-space orientation
     # (the viewport flip); NDC-CCW contributes +1.
     contribution = -int(orientation)
     return np.where(keep, contribution, 0)
+
+
+def rasterize_table(
+    table: TriangleTable,
+    width,
+    height,
+    descriptors=None,
+    transform=None,
+    sample_offsets=MSAA4,
+):
+    """Full stencil-pass semantics for one shape: strokes then fills
+    (reference renderer.rs:275-336 draw order).
+
+    Stroke triangles accumulate an OR coverage (the reference's
+    Equal+IncrementWrap stencil state, renderer.rs:571-576: only the
+    first covering fragment raises the winding from 0 to 1); fill
+    triangles then add signed winding on top.  Returns (H, W, S) winding.
+    """
+    from . import dynamic_stroke as ds
+    from .vertex import END_CAP_FLAG, KIND_STROKE_JOINT, KIND_STROKE_LINE
+    from .stroke import JOINT_TIP_FLAG
+
+    if transform is None:
+        transform = np.diag([2.0 / width, 2.0 / height, 1.0, 1.0]).astype(float)
+        transform[0, 3] = -1.0
+        transform[1, 3] = -1.0
+    positions = sample_positions(width, height, sample_offsets)
+    flat = positions.reshape(-1, 2)
+    winding = np.zeros(len(flat), dtype=np.int64)
+    stroke_cover = np.zeros(len(flat), dtype=bool)
+    for i in range(len(table)):
+        kind = int(table.kind[i])
+        verts, inv_w = _transform_to_pixel(table.xy[i], transform, width, height)
+        aux = table.aux[i].astype(np.float64) * inv_w[:, None]
+        if kind in (KIND_STROKE_LINE, KIND_STROKE_JOINT):
+            result = _interpolate(verts, aux, inv_w, flat)
+            if result is None:
+                continue
+            inside, corrected, _ = result
+            flags = int(table.meta[i, 0])
+            group = np.asarray(flags & 0xFFFF)
+            if kind == KIND_STROKE_LINE:
+                keep = ds.stroke_line_predicate(
+                    np,
+                    descriptors,
+                    group,
+                    corrected[:, 0],
+                    corrected[:, 1],
+                    bool(flags & END_CAP_FLAG),
+                    float(table.meta[i, 1]),
+                )
+            else:
+                keep = ds.stroke_joint_predicate(
+                    np,
+                    descriptors,
+                    group,
+                    corrected[:, 0],
+                    corrected[:, 1],
+                    corrected[:, 2],
+                    bool(flags & JOINT_TIP_FLAG),
+                )
+            stroke_cover |= inside & keep
+        else:
+            winding += _rasterize_one(kind, verts, aux, inv_w, flat)
+    winding += stroke_cover.astype(np.int64)
+    return winding.reshape(positions.shape[:-1])
