@@ -1,0 +1,230 @@
+"""End-to-end Renderer tests: stencil/cover command machine, instancing,
+clipping, opacity groups, dash animation without retrace."""
+
+import numpy as np
+import pytest
+
+from contrast_renderer_tpu import oracle
+from contrast_renderer_tpu.path import (
+    Cap,
+    DashInterval,
+    DynamicStrokeOptions,
+    Join,
+    LineSegment,
+    Path,
+    StrokeOptions,
+)
+from contrast_renderer_tpu.renderer import (
+    Configuration,
+    DrawCommand,
+    RenderOperation,
+    Renderer,
+    Shape,
+)
+
+SIZE = 64
+
+
+def ortho(size=SIZE):
+    t = np.diag([2.0 / size, 2.0 / size, 1.0, 1.0]).astype(np.float32)
+    t[0, 3] = -1.0
+    t[1, 3] = -1.0
+    return t
+
+
+def translate(tx, ty, size=SIZE):
+    t = ortho(size)
+    t[0, 3] += 2.0 * tx / size
+    t[1, 3] += 2.0 * ty / size
+    return t
+
+
+def model_xy(size=SIZE):
+    pos = oracle.sample_positions(size, size)
+    out = pos.copy()
+    out[..., 1] = size - pos[..., 1]
+    return out
+
+
+@pytest.fixture(scope="module")
+def renderer():
+    return Renderer(Configuration(), SIZE, SIZE)
+
+
+def stencil_color(shape, transform, color):
+    return [
+        DrawCommand(RenderOperation.STENCIL, shape, transform),
+        DrawCommand(RenderOperation.COLOR, shape, transform, color=color),
+    ]
+
+
+class TestBasicRendering:
+    def test_circle_fill(self, renderer):
+        shape = Shape([Path.from_circle((32, 32), 22)])
+        image = renderer.render(
+            stencil_color(shape, ortho(), (1.0, 0.0, 0.0, 1.0))
+        )
+        assert image.shape == (SIZE, SIZE, 4)
+        xy = model_xy()
+        r = np.hypot(xy[..., 0] - 32, xy[..., 1] - 32)
+        expected = np.mean(r <= 22, axis=-1)
+        assert np.mean(np.abs(image[..., 3] - expected)) < 2e-3
+        assert np.allclose(image[32, 32], [1, 0, 0, 1], atol=1e-5)
+        assert np.allclose(image[2, 2], 0.0)
+
+    def test_instances_over_blend(self, renderer):
+        shape = Shape([Path.from_rect((20, 32), (12, 12))])
+        commands = stencil_color(shape, ortho(), (1.0, 0.0, 0.0, 1.0))
+        commands += stencil_color(
+            shape, translate(16, 0), (0.0, 0.0, 1.0, 0.5)
+        )
+        image = renderer.render(commands)
+        # Left-only region: pure red; right-only: half blue; overlap:
+        # blue-over-red.
+        assert np.allclose(image[32, 10], [1, 0, 0, 1], atol=1e-5)
+        assert np.allclose(image[32, 45], [0, 0, 0.5, 0.5], atol=1e-5)
+        assert np.allclose(image[32, 28], [0.5, 0, 0.5, 1.0], atol=1e-5)
+
+    def test_winding_reset_between_instances(self, renderer):
+        # Same shape drawn twice in the same place: second draw works
+        # because the first Color reset the winding (stencil Less→Zero).
+        shape = Shape([Path.from_rect((32, 32), (10, 10))])
+        commands = stencil_color(shape, ortho(), (1.0, 0.0, 0.0, 1.0))
+        commands += stencil_color(shape, ortho(), (0.0, 1.0, 0.0, 1.0))
+        image = renderer.render(commands)
+        assert np.allclose(image[32, 32], [0, 1, 0, 1], atol=1e-5)
+
+
+class TestClipping:
+    def test_circle_clips_rect(self, renderer):
+        circle = Shape([Path.from_circle((32, 32), 16)])
+        rect = Shape([Path.from_rect((32, 32), (26, 26))])
+        commands = [
+            DrawCommand(RenderOperation.STENCIL, circle, ortho()),
+            DrawCommand(
+                RenderOperation.CLIP, circle, ortho(), clip_depth=1
+            ),
+            DrawCommand(
+                RenderOperation.STENCIL, rect, ortho(), clip_depth=1
+            ),
+            DrawCommand(
+                RenderOperation.COLOR,
+                rect,
+                ortho(),
+                color=(0.0, 1.0, 0.0, 1.0),
+                clip_depth=1,
+            ),
+            DrawCommand(
+                RenderOperation.UNCLIP, circle, ortho(), clip_depth=0
+            ),
+            # After unclip, drawing outside the circle works again.
+            DrawCommand(RenderOperation.STENCIL, rect, translate(0, -26)),
+        ]
+        commands.append(
+            DrawCommand(
+                RenderOperation.COLOR,
+                rect,
+                translate(0, -26),
+                color=(1.0, 0.0, 0.0, 0.3),
+            )
+        )
+        image = renderer.render(commands)
+        xy = model_xy()
+        r = np.hypot(xy[..., 0] - 32, xy[..., 1] - 32)
+        inside_circle = np.mean(r <= 16, axis=-1)
+        # Green only inside circle ∩ rect (rect covers the circle fully).
+        # Probe above the translated red rect (model y=40 → row 24).
+        assert np.allclose(image[24, 32, 1], 1.0, atol=1e-5)
+        assert image[32, 12, 1] < 0.05  # inside rect, outside circle: no green
+        # Green matches the circle mask except where the final red cover
+        # (alpha 0.3) attenuated it.
+        green = image[..., 1]
+        attenuated = inside_circle * np.where(image[..., 0] > 0, 0.7, 1.0)
+        assert np.mean(np.abs(green - attenuated)) < 5e-3
+
+    def test_clip_depth_overflow_raises(self):
+        from contrast_renderer_tpu.error import ClipStackOverflow
+
+        renderer = Renderer(
+            Configuration(clip_nesting_counter_bits=1), SIZE, SIZE
+        )
+        shape = Shape([Path.from_rect((32, 32), (4, 4))])
+        with pytest.raises(ClipStackOverflow):
+            renderer.render(
+                [
+                    DrawCommand(
+                        RenderOperation.STENCIL, shape, ortho(), clip_depth=2
+                    )
+                ]
+            )
+
+
+class TestOpacityGroups:
+    def test_group_opacity_front_to_back(self):
+        renderer = Renderer(
+            Configuration(alpha_layer_count=1, blending="front_to_back"),
+            SIZE,
+            SIZE,
+        )
+        rect = Shape([Path.from_rect((32, 32), (12, 12))])
+        cover_all = Shape([Path.from_rect((32, 32), (32, 32))])
+        g = 0.5
+        commands = [
+            # Front-to-back: the group content drawn first, scaled by g.
+            # The alpha-context covers need no stencil: their LessEqual
+            # stencil state passes across the whole hull
+            # (renderer.rs:761-766).
+            DrawCommand(
+                RenderOperation.SAVE_ALPHA_CONTEXT,
+                cover_all,
+                ortho(),
+                alpha_layer=0,
+            ),
+            DrawCommand(
+                RenderOperation.SCALE_ALPHA_CONTEXT,
+                cover_all,
+                ortho(),
+                color=(0, 0, 0, g),
+            ),
+            *stencil_color(rect, ortho(), (1.0, 0.0, 0.0, 1.0)),
+            DrawCommand(
+                RenderOperation.RESTORE_ALPHA_CONTEXT,
+                cover_all,
+                ortho(),
+                color=(0, 0, 0, g),
+                alpha_layer=0,
+            ),
+            # Content behind the group, full blue.
+            *stencil_color(cover_all, ortho(), (0.0, 0.0, 1.0, 1.0)),
+        ]
+        image = renderer.render(commands)
+        # Inside the rect: red at opacity g over blue behind.
+        assert np.allclose(image[32, 32], [g, 0, 1 - g, 1.0], atol=1e-4)
+        # Outside the rect: pure blue.
+        assert np.allclose(image[10, 10], [0, 0, 1, 1], atol=1e-4)
+
+
+class TestDashAnimation:
+    def test_phase_update_does_not_retrace(self, renderer):
+        def dashed(phase):
+            return DynamicStrokeOptions.make_dashed(
+                Join.MITER,
+                [DashInterval(gap_start=2.0, gap_end=4.0)],
+                phase=phase,
+            )
+
+        p = Path(
+            start=(6, 32),
+            stroke_options=StrokeOptions(width=6.0),
+        )
+        p.push_line(LineSegment([(58, 32)]))
+        shape = Shape([p], [dashed(0.0)])
+        commands = stencil_color(shape, ortho(), (1, 1, 1, 1))
+        before = len(renderer._executors)
+        image0 = renderer.render(commands)
+        shape.set_dynamic_stroke_options(0, dashed(2.0))
+        image1 = renderer.render(commands)
+        # Phase shift by 2 widths = 12px: dash pattern moved.
+        assert (np.abs(image0[..., 3] - image1[..., 3]) > 0.5).sum() > 50
+        # Only one executor signature was (re)used for both frames.
+        assert len(renderer._executors) - before <= 1

