@@ -189,11 +189,23 @@ def bin_triangles(aabb, contribution, num_tiles_x, num_tiles_y, tile_size, capac
         & (aabb[None, :, 3] >= tile_min_y[:, None])
         & live[None, :]
     )
-    counts = jnp.sum(overlap, axis=1)
-    # Stable argsort of (not overlap) floats: overlapping triangles first,
-    # preserving draw order within each tile.
-    order = jnp.argsort(~overlap, axis=1, stable=True)
-    indices = order[:, :capacity].astype(jnp.int32)
+    n_triangles = aabb.shape[0]
+    # Compaction by rank: the k-th overlapping triangle of a tile lands in
+    # slot k (cumsum + scatter; draw order preserved, overflow dropped).
+    rank = jnp.cumsum(overlap.astype(jnp.int32), axis=1)
+    slot = jnp.where(overlap, rank - 1, capacity)
+    tile_index = jnp.broadcast_to(
+        jnp.arange(n_tiles, dtype=jnp.int32)[:, None], slot.shape
+    )
+    tri_index = jnp.broadcast_to(
+        jnp.arange(n_triangles, dtype=jnp.int32)[None, :], slot.shape
+    )
+    indices = (
+        jnp.zeros((n_tiles, capacity), jnp.int32)
+        .at[tile_index.ravel(), slot.ravel()]
+        .set(tri_index.ravel(), mode="drop")
+    )
+    counts = rank[:, -1] if n_triangles else jnp.zeros(n_tiles, jnp.int32)
     valid = jnp.arange(capacity, dtype=jnp.int32)[None, :] < counts[:, None]
     return indices, valid, jnp.max(counts)
 

@@ -1,0 +1,64 @@
+"""Showcase scene (reference examples/showcase/main.rs) renders end to
+end, and the multi-chip band-sharded path produces the same image."""
+
+import numpy as np
+import pytest
+
+from contrast_renderer_tpu.models import showcase
+from contrast_renderer_tpu.renderer import Configuration, Renderer
+
+
+@pytest.fixture(scope="module")
+def shape():
+    # Text-free variant keeps the tiny-CPU test budget sane; the text
+    # pipeline itself is covered by test_text.py.
+    return showcase.build_shape(with_text=False)
+
+
+class TestShowcase:
+    def test_full_shape_builds_with_text(self):
+        full = showcase.build_shape(with_text=True)
+        # Dashed rounded-rect stroke + "Hello World" glyph fills.
+        assert len(full.triangles) > 200
+        assert len(full.convex_hull) >= 4
+
+    def test_showcase_renders(self, shape):
+        size = 96
+        renderer = Renderer(Configuration(), size, size)
+        commands = showcase.showcase_commands(shape, size, size)
+        assert len(commands) == 2 * (1 + showcase.ROWS * showcase.COLUMNS)
+        image = renderer.render(commands[:8])
+        assert image.shape == (size, size, 4)
+        assert np.isfinite(image).all()
+        # The dashed rounded-rect stroke leaves visible pixels.
+        assert (image[..., 3] > 0.1).sum() > 20
+
+    def test_dash_phase_animates(self, shape):
+        size = 96
+        renderer = Renderer(Configuration(), size, size)
+        commands = showcase.showcase_commands(shape, size, size)[:2]
+        shape.set_dynamic_stroke_options(0, showcase.dashed_options(0.0))
+        frame0 = renderer.render(commands)
+        shape.set_dynamic_stroke_options(0, showcase.dashed_options(2.0))
+        frame1 = renderer.render(commands)
+        assert (np.abs(frame0[..., 3] - frame1[..., 3]) > 0.4).sum() > 10
+        assert len(renderer._executors) == 1  # no retrace
+
+
+class TestMultiChip:
+    def test_band_sharded_matches_single_device(self, shape):
+        import jax
+        from jax.sharding import Mesh
+
+        from contrast_renderer_tpu.parallel import render_sharded
+
+        width, height = 64, 64
+        n = 4
+        mesh = Mesh(np.array(jax.devices()[:n]), ("y",))
+        renderer = Renderer(Configuration(), width, height, tile_size=16)
+        commands = showcase.showcase_commands(shape, width, height)[:4]
+        sharded = render_sharded(renderer, commands, mesh)
+        single = renderer.render(commands)
+        assert sharded.shape == single.shape
+        mismatch = np.mean(np.abs(sharded - single))
+        assert mismatch < 1e-4, mismatch
