@@ -87,7 +87,12 @@ def setup_triangles(xy, aux, kind, meta, transform, width, height):
         [xy, jnp.zeros((t, 3, 1), jnp.float32), jnp.ones((t, 3, 1), jnp.float32)],
         axis=-1,
     )
-    clip = jnp.einsum("tvc,rc->tvr", v, transform)
+    # Full f32 precision: TPU einsum defaults to bfloat16-grade MXU
+    # passes, whose ~1e-3 error flips the cancellation-sensitive
+    # Loop-Blinn predicates along curve boundaries.
+    clip = jnp.einsum(
+        "tvc,rc->tvr", v, transform, precision=jax.lax.Precision.HIGHEST
+    )
     w = clip[..., 3]
     inv_w = 1.0 / w
     ndc = clip[..., :2] * inv_w[..., None]
@@ -210,6 +215,32 @@ def bin_triangles(aabb, contribution, num_tiles_x, num_tiles_y, tile_size, capac
     return indices, valid, jnp.max(counts)
 
 
+def interpolate_attributes(lam, aux_w):
+    """Barycentric attribute interpolation as explicit multiply-adds.
+
+    ``lam`` (..., K, 3), ``aux_w`` (K, 3, C) → (..., K, C).  Unrolled on
+    purpose: an einsum would be lowered onto the MXU at default (bf16-
+    grade) precision, whose ~1e-3 error flips the cancellation-sensitive
+    Loop-Blinn predicates (x³−y·z·w) along curve boundaries.  Three FMAs
+    on the VPU are exact f32 and faster than a rank-3 systolic pass.
+    """
+    return (
+        lam[..., 0, None] * aux_w[..., 0, :]
+        + lam[..., 1, None] * aux_w[..., 1, :]
+        + lam[..., 2, None] * aux_w[..., 2, :]
+    )
+
+
+def interpolate_scalar(lam, per_vertex):
+    """``lam`` (..., K, 3), ``per_vertex`` (K, 3) → (..., K); same
+    precision rationale as `interpolate_attributes`."""
+    return (
+        lam[..., 0] * per_vertex[..., 0]
+        + lam[..., 1] * per_vertex[..., 1]
+        + lam[..., 2] * per_vertex[..., 2]
+    )
+
+
 def _fill_predicates(kind, value):
     """Per-sample implicit predicates by kind (shaders.wgsl:233-266).
 
@@ -300,14 +331,18 @@ def make_fill_rasterizer(
                 (pos[:, None, None, 0] - bary[None, :, :, 2]) * bary[None, :, :, 0]
                 + (pos[:, None, None, 1] - bary[None, :, :, 3]) * bary[None, :, :, 1]
             )
-            interp_aux = jnp.einsum("pkv,kvc->pkc", lam, aux_w)
+            interp_aux = interpolate_attributes(lam, aux_w)
             # The fill predicates are homogeneous in the channels, so the
             # perspective division by the (positive) interpolated 1/w can
             # be skipped entirely: evaluating on aux/w-premultiplied
             # values preserves the sign of f.  (Also avoids approximate-
     # reciprocal codegen differences across XLA configurations.)
             keep = _fill_predicates(tkind, interp_aux)
-            active = inside & keep & tvalid[None, :]
+            # This standalone rasterizer evaluates fill predicates only;
+            # stroke kinds (dash/cap logic) would silently add bogus
+            # winding if a mixed table were passed, so mask them out.
+            is_fill = tkind <= KIND_RATIONAL_CUBIC
+            active = inside & keep & (tvalid & is_fill)[None, :]
             winding = jnp.sum(
                 jnp.where(active, contrib[None, :], 0), axis=1, dtype=jnp.int32
             )

@@ -448,10 +448,10 @@ class Renderer:
                             + (pos[:, None, None, 1] - bary[None, :, :, 3])
                             * bary[None, :, :, 1]
                         )
-                        interp_aux = jnp.einsum("pkv,kvc->pkc", lam, aux_w)
+                        interp_aux = raster.interpolate_attributes(lam, aux_w)
                         fill_keep = raster._fill_predicates(tkind, interp_aux)
                         # Strokes need the true texcoords (persp division).
-                        interp_inv_w = jnp.einsum("pkv,kv->pk", lam, inv_w)
+                        interp_inv_w = raster.interpolate_scalar(lam, inv_w)
                         tex = interp_aux / interp_inv_w[..., None]
                         k_group = tri_group[idx]
                         line_keep = ds.stroke_line_predicate(
