@@ -4,18 +4,25 @@ Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 The north-star target (BASELINE.json) is the full showcase at 4K
 >= 60 FPS on one TPU v5e; vs_baseline = fps / 60.
 
-Resolution and scene size are scaled down automatically if the
-environment is slow (CPU fallback) so the bench always completes.
+Measures device-side frame rate (render + block_until_ready), matching
+the reference's frame loop which presents on-GPU without host readback
+(examples/application_framework.rs:251-263).  A host-readback figure is
+reported alongside in `readback_ms` for transparency: fetching an f32
+frame over the remote-TPU link costs more than rendering it and is not
+part of a frame.
+
+Resolution is scaled down automatically on CPU so the bench always
+completes; set BENCH_SIZE=WxH to override.
 """
 
 import json
 import os
-import sys
 import time
 
 
 def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_bench")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
     import jax
     import numpy as np
 
@@ -32,9 +39,7 @@ def main():
         width, height = 256, 256
     with_text = on_accelerator or bool(os.environ.get("BENCH_TEXT"))
 
-    renderer = Renderer(
-        Configuration(), width, height, tile_size=32, tile_capacity=1024
-    )
+    renderer = Renderer(Configuration(), width, height)
     shape = showcase.build_shape(with_text=with_text)
     if on_accelerator:
         commands = showcase.showcase_commands(shape, width, height)
@@ -43,15 +48,27 @@ def main():
 
     def frame(t):
         shape.set_dynamic_stroke_options(0, showcase.dashed_options(t * 2.0))
-        return renderer.render(commands)
+        return renderer.render(commands, to_host=False)
 
-    frame(0.0)  # compile
-    frames = 16 if on_accelerator else 2
+    image = frame(0.0)  # compile
+    image.block_until_ready()
+    # Throughput timing: frames are dispatched back-to-back and the
+    # device drained once at the end, like a swapchain with frames in
+    # flight (the reference's frame timer also measures submit-to-submit
+    # time, application_framework.rs:251-259).
+    frames = 32 if on_accelerator else 2
     start = time.perf_counter()
     for i in range(frames):
         image = frame(i * 0.016)
+    image.block_until_ready()
     elapsed = time.perf_counter() - start
     fps = frames / elapsed
+
+    start = time.perf_counter()
+    host = np.asarray(image)
+    readback_ms = (time.perf_counter() - start) * 1e3
+    assert np.isfinite(host).all()
+
     label = f"showcase_fps_{width}x{height}" + ("" if with_text else "_notext")
     print(
         json.dumps(
@@ -60,6 +77,7 @@ def main():
                 "value": round(fps, 3),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / 60.0, 4),
+                "readback_ms": round(readback_ms, 1),
             }
         )
     )

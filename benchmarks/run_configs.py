@@ -1,0 +1,299 @@
+"""Measure the five BASELINE.json configs on the current device.
+
+Prints one JSON line per config; paste the results into BASELINE.md.
+
+Usage: python benchmarks/run_configs.py [--configs 1,2,3,4,5] [--frames N]
+"""
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np  # noqa: E402
+
+
+def _timed_frames(frame, n):
+    frame(0)  # compile
+    start = time.perf_counter()
+    for i in range(n):
+        frame(i + 1)
+    return n / (time.perf_counter() - start)
+
+
+def ortho(size):
+    t = np.diag([2.0 / size, 2.0 / size, 1.0, 1.0]).astype(np.float32)
+    t[0, 3] = -1.0
+    t[1, 3] = -1.0
+    return t
+
+
+def ortho_wh(width, height):
+    t = np.diag([2.0 / width, 2.0 / height, 1.0, 1.0]).astype(np.float32)
+    t[0, 3] = -1.0
+    t[1, 3] = -1.0
+    return t
+
+
+def emit(metric, value, unit, extra=None):
+    record = {"metric": metric, "value": round(value, 4), "unit": unit}
+    if extra:
+        record.update(extra)
+    print(json.dumps(record), flush=True)
+
+
+def config1():
+    """Filled circle at 256², nonzero winding: coverage error vs the
+    scalar oracle."""
+    from contrast_renderer_tpu import oracle
+    from contrast_renderer_tpu.fill import FillBuilder
+    from contrast_renderer_tpu.ops import raster
+    from contrast_renderer_tpu.path import Path
+
+    size = 256
+    builder = FillBuilder()
+    hull = []
+    builder.add_path(hull, Path.from_circle((128, 128), 90))
+    table = builder.build()
+    rasterize = raster.make_fill_rasterizer(size, size)
+    winding, _ = rasterize(
+        table.xy, table.aux, table.kind, table.meta, ortho(size)
+    )
+    got = np.asarray(winding)
+    want = oracle.rasterize_fill_table(table, size, size)
+    err = np.mean(got != want)
+    emit("config1_circle_256_coverage_err", float(err), "fraction mismatched samples")
+
+
+def config2(frames):
+    """1k integral quad/cubic Bézier fills, 1080p, 4×MSAA."""
+    from contrast_renderer_tpu.path import (
+        IntegralCubicCurveSegment,
+        IntegralQuadraticCurveSegment,
+        LineSegment,
+        Path,
+    )
+    from contrast_renderer_tpu.renderer import (
+        Configuration, DrawCommand, RenderOperation, Renderer, Shape)
+
+    width, height = 1920, 1080
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(1000):
+        cx = rng.uniform(40, width - 40)
+        cy = rng.uniform(40, height - 40)
+        r = rng.uniform(8, 30)
+        pts = cx + rng.uniform(-r, r, (4, 2)) * [1, 1] + [0, 0]
+        pts[:, 1] = cy + rng.uniform(-r, r, 4)
+        p = Path(start=(cx - r, cy))
+        if i % 2 == 0:
+            p.push_integral_quadratic_curve(
+                IntegralQuadraticCurveSegment([tuple(pts[0]), tuple(pts[1])])
+            )
+        else:
+            p.push_integral_cubic_curve(
+                IntegralCubicCurveSegment(
+                    [tuple(pts[0]), tuple(pts[1]), tuple(pts[2])]
+                )
+            )
+        p.push_line(LineSegment([(cx - r, cy)]))
+        paths.append(p)
+    t0 = time.perf_counter()
+    shape = Shape(paths)
+    build_s = time.perf_counter() - t0
+    renderer = Renderer(Configuration(), width, height)
+    t = ortho_wh(width, height)
+    commands = [
+        DrawCommand(RenderOperation.STENCIL, shape, t),
+        DrawCommand(
+            RenderOperation.COLOR, shape, t, color=(0.9, 0.4, 0.1, 1.0)
+        ),
+    ]
+
+    def frame(i):
+        return renderer.render(commands)
+
+    fps = _timed_frames(frame, frames)
+    emit(
+        "config2_1k_beziers_1080p", fps, "frames/s",
+        {
+            "triangles": len(shape.triangles),
+            "scene_build_s": round(build_s, 3),
+            "gpixels_per_s": round(fps * width * height * 4 / 1e9, 3),
+        },
+    )
+
+
+def config3(frames):
+    """Dashed strokes, all join styles, animated phase."""
+    from contrast_renderer_tpu.path import (
+        Cap, CurveApproximation, DashInterval, DynamicStrokeOptions,
+        Join, Path, StrokeOptions)
+    from contrast_renderer_tpu.renderer import (
+        Configuration, DrawCommand, RenderOperation, Renderer, Shape)
+
+    width, height = 1920, 1080
+
+    def dashed(join, phase):
+        return DynamicStrokeOptions.make_dashed(
+            join,
+            [
+                DashInterval(gap_start=2.0, gap_end=3.0,
+                             dash_start=Cap.ROUND, dash_end=Cap.OUT),
+                DashInterval(gap_start=5.0, gap_end=5.5,
+                             dash_start=Cap.BUTT, dash_end=Cap.BUTT),
+            ],
+            phase=phase,
+        )
+
+    joins = [Join.MITER, Join.BEVEL, Join.ROUND]
+    paths = []
+    rng = np.random.default_rng(1)
+    for i in range(60):
+        p = Path(start=(rng.uniform(100, width - 100), rng.uniform(100, height - 100)))
+        from contrast_renderer_tpu.path import LineSegment
+        for _ in range(6):
+            p.push_line(
+                LineSegment([
+                    (rng.uniform(50, width - 50), rng.uniform(50, height - 50))
+                ])
+            )
+        p.stroke_options = StrokeOptions(
+            width=10.0, offset=0.0, miter_clip=2.0, closed=False,
+            dynamic_stroke_options_group=i % 3,
+            curve_approximation=CurveApproximation.uniform_tangent_angle(0.1),
+        )
+        paths.append(p)
+    options = [dashed(j, 0.0) for j in joins]
+    shape = Shape(paths, options)
+    renderer = Renderer(Configuration(), width, height)
+    t = ortho_wh(width, height)
+    commands = [
+        DrawCommand(RenderOperation.STENCIL, shape, t),
+        DrawCommand(RenderOperation.COLOR, shape, t, color=(1, 1, 1, 1)),
+    ]
+
+    def frame(i):
+        for g, join in enumerate(joins):
+            shape.set_dynamic_stroke_options(g, dashed(join, i * 0.3))
+        return renderer.render(commands)
+
+    fps = _timed_frames(frame, frames)
+    emit(
+        "config3_dashed_strokes_1080p", fps, "frames/s",
+        {"triangles": len(shape.triangles)},
+    )
+
+
+def config4(frames):
+    """10k TTF glyphs at 1080p."""
+    from contrast_renderer_tpu.path import Path
+    from contrast_renderer_tpu.renderer import (
+        Configuration, DrawCommand, RenderOperation, Renderer, Shape)
+    from contrast_renderer_tpu.text import (
+        Alignment, Font, Layout, Orientation, paths_of_text)
+
+    width, height = 1920, 1080
+    with open(
+        "/root/reference/examples/fonts/OpenSans-Regular.ttf", "rb"
+    ) as fh:
+        font = Font("OpenSans", fh.read())
+    layout = Layout(
+        size=16.0,
+        orientation=Orientation.LEFT_TO_RIGHT,
+        major_alignment=Alignment.BEGIN,
+        minor_alignment=Alignment.BEGIN,
+    )
+    text = "\n".join(
+        "the quick brown fox jumps over the lazy dog 0123456789 " * 2
+        for _ in range(92)
+    )
+    n_glyphs = sum(1 for ch in text if not ch.isspace())
+    t0 = time.perf_counter()
+    paths = paths_of_text(font.face, layout, text)
+    outline_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    shape = Shape(paths)
+    build_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    shape_py = Shape(paths, use_native=False)
+    build_py_s = time.perf_counter() - t0
+    assert len(shape_py.triangles) == len(shape.triangles)
+
+    renderer = Renderer(Configuration(), width, height)
+    # Glyph box is ~[0, 850]x[-200, 1370]; map onto the viewport.
+    t = np.diag(
+        [2.0 / 1800.0, 2.0 / 1500.0, 1.0, 1.0]
+    ).astype(np.float32)
+    t[0, 3] = -1.0
+    t[1, 3] = 0.95
+    commands = [
+        DrawCommand(RenderOperation.STENCIL, shape, t),
+        DrawCommand(RenderOperation.COLOR, shape, t, color=(1, 1, 1, 1)),
+    ]
+
+    def frame(i):
+        return renderer.render(commands)
+
+    fps = _timed_frames(frame, frames)
+    emit(
+        "config4_10k_glyphs_1080p", fps * n_glyphs, "glyphs/s",
+        {
+            "glyphs": n_glyphs,
+            "frames_per_s": round(fps, 3),
+            "triangles": len(shape.triangles),
+            "outline_s": round(outline_s, 3),
+            "scene_build_native_s": round(build_s, 3),
+            "scene_build_python_s": round(build_py_s, 3),
+        },
+    )
+
+
+def config5(frames):
+    """Full showcase at 4K."""
+    from contrast_renderer_tpu.models import showcase
+    from contrast_renderer_tpu.renderer import Configuration, Renderer
+
+    width, height = 3840, 2160
+    renderer = Renderer(Configuration(), width, height)
+    shape = showcase.build_shape(with_text=True)
+    commands = showcase.showcase_commands(shape, width, height)
+
+    def frame(i):
+        shape.set_dynamic_stroke_options(
+            0, showcase.dashed_options(i * 0.032)
+        )
+        return renderer.render(commands)
+
+    fps = _timed_frames(frame, frames)
+    emit(
+        "config5_showcase_4k", fps, "frames/s",
+        {"commands": len(commands), "vs_60fps": round(fps / 60.0, 3)},
+    )
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--configs", default="1,2,3,4,5")
+    parser.add_argument("--frames", type=int, default=16)
+    args = parser.parse_args()
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_bench_configs"
+    )
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    wanted = {int(x) for x in args.configs.split(",")}
+    fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
+    for index in sorted(wanted):
+        fn = fns[index]
+        if index == 1:
+            fn()
+        else:
+            fn(args.frames)
+
+
+if __name__ == "__main__":
+    main()

@@ -43,18 +43,12 @@ def require_finite(value, name="value"):
     """Validation at API boundaries, standing in for the reference's
     SafeFloat finite assertion (src/safe_float.rs:46,114).
 
-    Accepts scalars or nested sequences; raises ValueError on NaN/Inf.
-    Returns the value unchanged for chaining.
+    Accepts scalars, nested sequences or numpy arrays; raises ValueError
+    on NaN/Inf.  Returns the value unchanged for chaining.
     """
-    import math
+    import numpy as np
 
-    def _check(v):
-        if isinstance(v, (list, tuple)):
-            for item in v:
-                _check(item)
-        else:
-            if not math.isfinite(v):
-                raise ValueError(f"{name} must be finite, got {v!r}")
-
-    _check(value)
+    arr = np.asarray(value, dtype=np.float64)
+    if not np.isfinite(arr).all():
+        raise ValueError(f"{name} must be finite")
     return value

@@ -1,0 +1,1045 @@
+"""The Pallas frame executor: tile-resident stencil-and-cover.
+
+This is the TPU-native replacement for the reference's whole GPU
+runtime — the 14 wgpu render pipelines (renderer.rs:593-861), the
+stencil winding/clip algebra (renderer.rs:565-582, 692-729), the cover
+blend states (renderer.rs:736-861) and the per-sample fragment
+predicates (shaders.wgsl:155-300).
+
+Architecture (two stages, both jitted):
+
+1. ``prepare`` (plain XLA): transforms every stencil command's triangle
+   table by its instance matrix (batched, full f32), computes
+   screen-space edge/interpolation coefficients, and **bins** triangles
+   to pixel tiles.  Binning classifies every (triangle, tile) pair by
+   evaluating the three edge functions at the tile corners:
+
+   - *reject* (tile fully outside an edge) — dropped,
+   - *trivial accept* of a SOLID triangle (tile fully inside all
+     edges) — folded into a per-(tile, command) scalar ``bulk``
+     winding delta, so the interiors of large cover fans cost one
+     vector add instead of per-sample edge tests,
+   - otherwise — an *entry* in the tile's triangle list.
+
+   Small triangles are enumerated directly over their (few) covered
+   tiles and compacted by a stable sort; triangles spanning more tiles
+   than the slot budget go through a dense (tiles × globals) matrix
+   (their count is small — they are the big fans).  Convex-hull cover
+   commands get the same corner classification per tile
+   (skip / boundary / fully-inside).
+
+2. ``rasterize`` (Pallas): one grid step per tile.  The per-sample
+   frame state — winding counter, clip depth, premultiplied RGBA, alpha
+   layers — lives in VMEM scratch for the *whole command sequence*;
+   only the resolved tile color is written to HBM.  Per tile the kernel
+   walks the active-command list; stencil commands loop over the tile's
+   binned triangle entries (stroke entries before fill entries,
+   preserving the reference's draw order, renderer.rs:275-336) and
+   evaluate the implicit-curve / dash / cap / joint predicates exactly
+   as shaders.wgsl does; cover commands apply the winding rule inside
+   the hull and composite/clip/save alpha per the reference's stencil
+   and blend states.
+
+All arithmetic on the coverage path is explicit f32 multiply-add on
+the VPU (never the MXU) — the Loop-Blinn predicates are cancellation
+sensitive and bf16-grade matmul precision visibly corrupts them.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..path import MAX_DASH_INTERVALS, Cap, Join
+from ..vertex import (
+    KIND_INTEGRAL_CUBIC,
+    KIND_INTEGRAL_QUADRATIC,
+    KIND_RATIONAL_CUBIC,
+    KIND_RATIONAL_QUADRATIC,
+    KIND_SOLID,
+    KIND_STROKE_JOINT,
+    KIND_STROKE_LINE,
+)
+
+TAU = 2.0 * math.pi
+
+OP_STENCIL = 0
+OP_CLIP = 1
+OP_UNCLIP = 2
+OP_COLOR = 3
+OP_SAVE_ALPHA = 4
+OP_SCALE_ALPHA = 5
+OP_RESTORE_ALPHA = 6
+
+#: Standard MSAA sample positions (x, y) within a pixel, y-down.
+SAMPLE_PATTERNS = {
+    1: np.array([[0.5, 0.5]], np.float32),
+    2: np.array([[0.75, 0.75], [0.25, 0.25]], np.float32),
+    4: np.array(
+        [[0.375, 0.125], [0.875, 0.375], [0.125, 0.625], [0.625, 0.875]],
+        np.float32,
+    ),
+    8: np.array(
+        [
+            [0.5625, 0.3125], [0.4375, 0.6875], [0.8125, 0.5625],
+            [0.3125, 0.1875], [0.1875, 0.8125], [0.0625, 0.4375],
+            [0.6875, 0.9375], [0.9375, 0.0625],
+        ],
+        np.float32,
+    ),
+    16: np.array(
+        [
+            [0.5625, 0.5625], [0.4375, 0.3125], [0.3125, 0.625],
+            [0.75, 0.4375], [0.1875, 0.375], [0.625, 0.8125],
+            [0.8125, 0.6875], [0.6875, 0.1875], [0.375, 0.875],
+            [0.5, 0.0625], [0.25, 0.125], [0.125, 0.75],
+            [0.03125, 0.5], [0.9375, 0.25], [0.875, 0.9375],
+            [0.0625, 0.03125],
+        ],
+        np.float32,
+    ),
+}
+
+# Float row layout (one packed row per screen-space triangle).
+RF_EDGE = 0        # 0..8: (a, b, c) × 3 oriented edges (inside ⇒ e ≥ 0)
+RF_INV_AREA = 9    # 1/|pixel area| (λ_k = ẽ_k · invA)
+RF_AW = 10         # 10..21: aux·(1/w), vertex paired with edge k
+RF_IW = 22         # 22..24: 1/w, vertex paired with edge k
+RF_END_Y = 25      # end-cap provoking texcoord.y
+RF_AABB = 26       # 26..29: pixel-space min_x, min_y, max_x, max_y
+D_F = 32
+
+# Int row layout.
+RI_KIND = 0
+RI_CONTRIB = 1
+RI_GROUP = 2
+RI_FLAGS = 3       # bits 0..2 top-left edge rule, 3 end-cap, 4 joint tip
+RI_FILL = 4        # 1 for fill kinds (ordering key), 0 for strokes
+RI_CMD = 5         # originating command index
+D_I = 8
+
+FLAG_END_CAP = 8
+FLAG_JOINT_TIP = 16
+
+# Descriptor row layout (global dynamic-stroke table).
+# floats: 0..3 gap_start, 4..7 gap_end, 8 phase
+# ints:   0..3 end_caps, 4..7 start_caps, 8 last_interval, 9 dashed,
+#         10 join, 11 solid_start_cap, 12 solid_end_cap
+DESC_F = 12
+DESC_I = 16
+
+
+@dataclass(frozen=True)
+class FrameSpec:
+    """Static signature of a frame program.
+
+    ``ops`` / ``cmd_shape`` fix the command structure; everything that
+    animates per frame (transforms, colors, clip depths, dash
+    descriptors) stays a runtime input, so re-rendering with new values
+    reuses the compiled program.
+    """
+
+    width: int
+    height: int
+    ops: tuple            # per-command RenderOperation ints
+    cmd_shape: tuple      # per-command shape index
+    n_shapes: int
+    t_max: int            # padded triangle count per shape
+    h_max: int            # padded hull vertex count per shape
+    samples: int
+    winding_bits: int
+    n_layers: int
+    blending: str
+    tile_h: int = 32
+    tile_w: int = 128
+    capacity: int = 256             # per-tile local entry rows
+    global_capacity: int = 2048     # big-triangle rows
+    tile_global_capacity: int = 128  # per-tile big-triangle entries
+    slots_x: int = 2
+    slots_y: int = 2
+    interpret: bool = False
+
+    @property
+    def n_commands(self):
+        return len(self.ops)
+
+    @property
+    def ntx(self):
+        return -(-self.width // self.tile_w)
+
+    @property
+    def nty(self):
+        return -(-self.height // self.tile_h)
+
+    @property
+    def n_tiles(self):
+        return self.ntx * self.nty
+
+
+class PreparedFrame(NamedTuple):
+    """Device arrays produced by `prepare`, consumed by `rasterize`."""
+
+    tri_f: jnp.ndarray    # (n_tiles, K, D_F)
+    tri_i: jnp.ndarray    # (n_tiles, K, D_I)
+    off: jnp.ndarray      # (n_tiles, 1, 2C+1) per-(cmd, stroke/fill) ranges
+    g_rows_f: jnp.ndarray  # (G, D_F)
+    g_rows_i: jnp.ndarray  # (G, D_I)
+    glist: jnp.ndarray    # (n_tiles, 1, Kg) indices into g_rows
+    g_off: jnp.ndarray    # (n_tiles, 1, 2C+1)
+    bulk: jnp.ndarray     # (n_tiles, 1, C) trivially-accepted solid winding
+    cls: jnp.ndarray      # (n_tiles, 1, C) cover class 0/1/2
+    aclist: jnp.ndarray   # (n_tiles, 1, C) active command indices
+    acount: jnp.ndarray   # (n_tiles, 1, 1)
+    hull_lines: jnp.ndarray  # (C, Hm, 4) inward-oriented pixel lines
+    overflow: jnp.ndarray    # (3,) max local count, global count, max tile globals
+
+
+# ---------------------------------------------------------------------------
+# prepare: setup + binning (plain XLA)
+# ---------------------------------------------------------------------------
+
+
+def _corner_min_max(a, b, c, x0, y0, tw, th):
+    """Min/max of the linear function a·x+b·y+c over the tile rectangle
+    [x0, x0+tw] × [y0, y0+th] (all broadcastable)."""
+    base = a * x0 + b * y0 + c
+    lo = base + jnp.minimum(a * tw, 0.0) + jnp.minimum(b * th, 0.0)
+    hi = base + jnp.maximum(a * tw, 0.0) + jnp.maximum(b * th, 0.0)
+    return lo, hi
+
+
+def make_prepare(spec: FrameSpec):
+    C = spec.n_commands
+    ops = np.asarray(spec.ops, np.int32)
+    cmd_shape = np.asarray(spec.cmd_shape, np.int32)
+    stencil_sel = np.nonzero(ops == OP_STENCIL)[0].astype(np.int32)
+    cover_sel = np.nonzero(ops != OP_STENCIL)[0].astype(np.int32)
+    Cs = len(stencil_sel)
+    T = spec.t_max
+    Hm = spec.h_max
+    W, H = spec.width, spec.height
+    tw, th = spec.tile_w, spec.tile_h
+    ntx, nty, n_tiles = spec.ntx, spec.nty, spec.n_tiles
+    K = spec.capacity
+    G = spec.global_capacity
+    Kg = spec.tile_global_capacity
+    mx, my = spec.slots_x, spec.slots_y
+    M = mx * my
+
+    def prepare(xy, aux, kind, meta, gbase, hull, transforms):
+        """xy (Ns,T,3,2) aux (Ns,T,3,4) kind (Ns,T) meta (Ns,T,2)
+        gbase (Ns,) hull (Ns,Hm,2) transforms (C,4,4) — all device."""
+        f32 = jnp.float32
+        i32 = jnp.int32
+
+        # ---- per-stencil-command triangle setup -----------------------
+        sidx = jnp.asarray(stencil_sel)
+        sshape = jnp.asarray(cmd_shape[stencil_sel]) if Cs else jnp.zeros(0, i32)
+        sxy = xy[sshape]                     # (Cs, T, 3, 2)
+        saux = aux[sshape]
+        skind = kind[sshape]
+        smeta = meta[sshape]
+        sgbase = gbase[sshape]
+        stf = transforms[sidx]               # (Cs, 4, 4)
+
+        v = jnp.concatenate(
+            [sxy, jnp.zeros(sxy.shape[:-1] + (1,), f32),
+             jnp.ones(sxy.shape[:-1] + (1,), f32)], axis=-1,
+        )
+        clip = jnp.einsum(
+            "ctvk,crk->ctvr", v, stf, precision=jax.lax.Precision.HIGHEST
+        )
+        w = clip[..., 3]
+        inv_w = jnp.where(w != 0.0, 1.0 / w, 0.0)
+        ndc = clip[..., :2] * inv_w[..., None]
+        px = (ndc[..., 0] + 1.0) * (0.5 * W)
+        py = (1.0 - ndc[..., 1]) * (0.5 * H)
+        pix = jnp.stack([px, py], axis=-1)   # (Cs, T, 3, 2)
+
+        v0, v1, v2 = pix[..., 0, :], pix[..., 1, :], pix[..., 2, :]
+        area = (v1[..., 0] - v0[..., 0]) * (v2[..., 1] - v0[..., 1]) - (
+            v1[..., 1] - v0[..., 1]
+        ) * (v2[..., 0] - v0[..., 0])
+        orient = jnp.sign(area)
+        finite = jnp.all(jnp.isfinite(pix), axis=(-1, -2)) & jnp.isfinite(area)
+        visible = finite & (area != 0.0) & jnp.all(w > 0.0, axis=-1)
+
+        edges = []
+        tl_bits = jnp.zeros(area.shape, i32)
+        for e_index, (ai, bi) in enumerate(((0, 1), (1, 2), (2, 0))):
+            a_v = pix[..., ai, :]
+            b_v = pix[..., bi, :]
+            ea = -(b_v[..., 1] - a_v[..., 1]) * orient
+            eb = (b_v[..., 0] - a_v[..., 0]) * orient
+            ec = -(ea * a_v[..., 0] + eb * a_v[..., 1])
+            aa = jnp.where(orient[..., None] > 0, a_v, b_v)
+            bb = jnp.where(orient[..., None] > 0, b_v, a_v)
+            top_left = ((aa[..., 1] == bb[..., 1]) & (bb[..., 0] > aa[..., 0])) | (
+                bb[..., 1] > aa[..., 1]
+            )
+            tl_bits = tl_bits | (top_left.astype(i32) << e_index)
+            edges.append(jnp.stack([ea, eb, ec], axis=-1))
+        edge = jnp.stack(edges, axis=-2)     # (Cs, T, 3, 3)
+        inv_area = jnp.where(area != 0.0, 1.0 / jnp.abs(area), 0.0)
+
+        aux_w = saux * inv_w[..., None]
+        perm = jnp.asarray([2, 0, 1])
+        aw = aux_w[..., perm, :]             # aw[k] pairs edge k
+        iw = inv_w[..., perm]
+
+        is_fill = skind <= KIND_RATIONAL_CUBIC
+        contribution = jnp.where(
+            visible & is_fill, -orient.astype(i32), 0
+        )
+        contribution = jnp.where(visible & ~is_fill, 1, contribution)
+
+        group_flags = smeta[..., 0].astype(i32)
+        group = sgbase[:, None] + (group_flags & 0xFFFF)
+        flags = (
+            tl_bits
+            | jnp.where((group_flags & 0x10000) != 0, FLAG_END_CAP, 0)
+            | jnp.where((group_flags & 0x20000) != 0, FLAG_JOINT_TIP, 0)
+        )
+
+        aabb = jnp.concatenate(
+            [jnp.min(pix, axis=-2), jnp.max(pix, axis=-2)], axis=-1
+        )
+        live = (
+            (contribution != 0)
+            & (aabb[..., 0] <= W) & (aabb[..., 2] >= 0.0)
+            & (aabb[..., 1] <= H) & (aabb[..., 3] >= 0.0)
+        )
+        contribution = jnp.where(live, contribution, 0)
+
+        n_rows = max(1, Cs * T)
+        rows_f = jnp.concatenate(
+            [
+                edge.reshape(Cs, T, 9),
+                inv_area[..., None],
+                aw.reshape(Cs, T, 12),
+                iw,
+                smeta[..., 1:2],
+                aabb,
+                jnp.zeros((Cs, T, D_F - 30), f32),
+            ],
+            axis=-1,
+        ).reshape(Cs * T, D_F) if Cs else jnp.zeros((n_rows, D_F), f32)
+        cmd_of = jnp.repeat(sidx, T) if Cs else jnp.zeros(n_rows, i32)
+        rows_i = jnp.stack(
+            [
+                skind.reshape(-1),
+                contribution.reshape(-1),
+                group.reshape(-1),
+                flags.reshape(-1),
+                is_fill.reshape(-1).astype(i32),
+                cmd_of,
+                jnp.zeros(Cs * T, i32),
+                jnp.zeros(Cs * T, i32),
+            ],
+            axis=-1,
+        ) if Cs else jnp.zeros((n_rows, D_I), i32)
+
+        live = live.reshape(-1) if Cs else jnp.zeros(n_rows, bool)
+        aabb_flat = aabb.reshape(-1, 4) if Cs else jnp.zeros((n_rows, 4), f32)
+        solid_flat = (
+            (skind.reshape(-1) == KIND_SOLID)
+            if Cs else jnp.zeros(n_rows, bool)
+        )
+        contrib_flat = rows_i[:, RI_CONTRIB]
+        fill_flat = rows_i[:, RI_FILL]
+        key2_flat = cmd_of * 2 + fill_flat  # strokes sort before fills
+
+        tx0 = jnp.clip(jnp.floor(aabb_flat[:, 0] / tw), 0, ntx - 1).astype(i32)
+        ty0 = jnp.clip(jnp.floor(aabb_flat[:, 1] / th), 0, nty - 1).astype(i32)
+        tx1 = jnp.clip(jnp.floor(aabb_flat[:, 2] / tw), 0, ntx - 1).astype(i32)
+        ty1 = jnp.clip(jnp.floor(aabb_flat[:, 3] / th), 0, nty - 1).astype(i32)
+        span_ok = ((tx1 - tx0) < mx) & ((ty1 - ty0) < my)
+        is_local = live & span_ok
+        is_global = live & ~span_ok
+
+        bulk = jnp.zeros((n_tiles, C), i32)
+
+        # ---- local slot enumeration ----------------------------------
+        m = jnp.arange(M, dtype=i32)
+        etx = tx0[:, None] + (m % mx)[None, :]      # (N, M)
+        ety = ty0[:, None] + (m // mx)[None, :]
+        in_range = (
+            (etx <= tx1[:, None]) & (ety <= ty1[:, None])
+            & (etx < ntx) & (ety < nty) & is_local[:, None]
+        )
+        ex0 = etx.astype(f32) * tw
+        ey0 = ety.astype(f32) * th
+        reject = jnp.zeros(etx.shape, bool)
+        accept = jnp.ones(etx.shape, bool)
+        for e_index in range(3):
+            a = rows_f[:, 3 * e_index + 0][:, None]
+            b = rows_f[:, 3 * e_index + 1][:, None]
+            c = rows_f[:, 3 * e_index + 2][:, None]
+            lo, hi = _corner_min_max(a, b, c, ex0, ey0, tw, th)
+            reject = reject | (hi < 0.0)
+            accept = accept & (lo > 0.0)
+        valid = in_range & ~reject
+        tile_of = ety * ntx + etx
+        solid_acc = valid & accept & solid_flat[:, None]
+        entry = valid & ~solid_acc
+
+        bulk = bulk.at[
+            tile_of.reshape(-1), jnp.repeat(cmd_of, M)
+        ].add(
+            jnp.where(solid_acc, contrib_flat[:, None], 0).reshape(-1),
+            mode="drop",
+        )
+
+        # Stable sort of local entries by (tile, cmd, stroke-before-fill).
+        key = (tile_of * C + cmd_of[:, None]) * 2 + fill_flat[:, None]
+        big = n_tiles * C * 2
+        key = jnp.where(entry, key, big).reshape(-1)
+        payload = jnp.broadcast_to(
+            jnp.arange(n_rows, dtype=i32)[:, None], (n_rows, M)
+        ).reshape(-1)
+        skey, srow = jax.lax.sort((key, payload), num_keys=1, is_stable=True)
+
+        counts2 = jnp.zeros(n_tiles * 2 * C, i32).at[
+            jnp.where(key < big, key, 0)
+        ].add(jnp.where(key < big, 1, 0)).reshape(n_tiles, 2 * C)
+        off = jnp.concatenate(
+            [jnp.zeros((n_tiles, 1), i32), jnp.cumsum(counts2, axis=1)],
+            axis=1,
+        )
+        tile_count = off[:, -1]
+        tile_begin = jnp.searchsorted(
+            skey, jnp.arange(n_tiles, dtype=i32) * (2 * C), side="left"
+        ).astype(i32)
+
+        kk = jnp.arange(K, dtype=i32)
+        gidx = jnp.clip(tile_begin[:, None] + kk[None, :], 0, skey.shape[0] - 1)
+        slot_valid = kk[None, :] < jnp.minimum(tile_count, K)[:, None]
+        row_ids = jnp.where(slot_valid, srow[gidx], 0)
+        tri_f = rows_f[row_ids]
+        tri_i = rows_i[row_ids]
+        # Clamp offsets to capacity so kernel ranges stay in bounds even
+        # on overflow (the host detects it via `overflow` and retries).
+        off = jnp.minimum(off, K)
+
+        # ---- globals (big triangles) via small dense matrix -----------
+        gkey = jnp.where(is_global, key2_flat, Cs * 2 * T + C * 2)
+        gskey, gsrow = jax.lax.sort((gkey, jnp.arange(n_rows, dtype=i32)),
+                                    num_keys=1, is_stable=True)
+        g_total = jnp.sum(is_global.astype(i32))
+        g_ids = gsrow[:G] if n_rows >= G else jnp.pad(gsrow, (0, G - n_rows))
+        g_valid = jnp.arange(G, dtype=i32) < jnp.minimum(g_total, G)
+        g_rows_f = rows_f[g_ids]
+        g_rows_i = rows_i[g_ids]
+
+        tile_x0 = (jnp.arange(ntx, dtype=f32) * tw)
+        tile_y0 = (jnp.arange(nty, dtype=f32) * th)
+        # AABB overlap, separable.
+        gaabb = g_rows_f[:, RF_AABB:RF_AABB + 4]
+        ovx = (gaabb[:, 0:1] <= tile_x0[None, :] + tw) & (
+            gaabb[:, 2:3] >= tile_x0[None, :]
+        )  # (G, ntx)
+        ovy = (gaabb[:, 1:2] <= tile_y0[None, :] + th) & (
+            gaabb[:, 3:4] >= tile_y0[None, :]
+        )  # (G, nty)
+        g_reject = jnp.zeros((G, nty, ntx), bool)
+        g_accept = jnp.ones((G, nty, ntx), bool)
+        for e_index in range(3):
+            a = g_rows_f[:, 3 * e_index + 0][:, None, None]
+            b = g_rows_f[:, 3 * e_index + 1][:, None, None]
+            c = g_rows_f[:, 3 * e_index + 2][:, None, None]
+            lo, hi = _corner_min_max(
+                a, b, c, tile_x0[None, None, :], tile_y0[None, :, None], tw, th
+            )
+            g_reject = g_reject | (hi < 0.0)
+            g_accept = g_accept & (lo > 0.0)
+        g_over = ovy[:, :, None] & ovx[:, None, :] & g_valid[:, None, None]
+        g_solid = g_rows_i[:, RI_KIND] == KIND_SOLID
+        g_acc_mask = g_over & g_accept & g_solid[:, None, None]
+        g_entry = (g_over & ~g_reject & ~g_acc_mask).transpose(1, 2, 0).reshape(
+            n_tiles, G
+        )
+        g_acc_flat = g_acc_mask.transpose(1, 2, 0).reshape(n_tiles, G)
+
+        g_cmd = g_rows_i[:, RI_CMD]
+        tiles_idx = jnp.broadcast_to(
+            jnp.arange(n_tiles, dtype=i32)[:, None], (n_tiles, G)
+        )
+        bulk = bulk.at[
+            tiles_idx.reshape(-1),
+            jnp.broadcast_to(g_cmd[None, :], (n_tiles, G)).reshape(-1),
+        ].add(
+            jnp.where(g_acc_flat, g_rows_i[None, :, RI_CONTRIB], 0).reshape(-1),
+            mode="drop",
+        )
+
+        g_rank = jnp.cumsum(g_entry.astype(i32), axis=1) - 1
+        glist = jnp.zeros((n_tiles, Kg), i32).at[
+            tiles_idx.reshape(-1),
+            jnp.where(g_entry, g_rank, Kg).reshape(-1),
+        ].set(
+            jnp.broadcast_to(
+                jnp.arange(G, dtype=i32)[None, :], (n_tiles, G)
+            ).reshape(-1),
+            mode="drop",
+        )
+        g_key2 = g_cmd * 2 + g_rows_i[:, RI_FILL]
+        g_counts2 = jnp.zeros((n_tiles * 2 * C,), i32).at[
+            (tiles_idx * 2 * C + g_key2[None, :]).reshape(-1)
+        ].add(g_entry.astype(i32).reshape(-1)).reshape(n_tiles, 2 * C)
+        g_off = jnp.concatenate(
+            [jnp.zeros((n_tiles, 1), i32), jnp.cumsum(g_counts2, axis=1)],
+            axis=1,
+        )
+        tile_g_count = g_off[:, -1]
+        g_off = jnp.minimum(g_off, Kg)
+
+        # ---- cover commands: hull lines + per-tile class ---------------
+        hp = hull[jnp.asarray(cmd_shape)]        # (C, Hm, 2)
+        ones = jnp.ones((C, Hm, 1), f32)
+        hclip = jnp.einsum(
+            "chk,crk->chr",
+            jnp.concatenate([hp, jnp.zeros((C, Hm, 1), f32), ones], axis=-1),
+            transforms,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        hw = hclip[..., 3]
+        hvalid = jnp.all(hw > 0.0, axis=-1)
+        hiw = jnp.where(hw != 0.0, 1.0 / hw, 0.0)
+        hndc = hclip[..., :2] * hiw[..., None]
+        hx = (hndc[..., 0] + 1.0) * (0.5 * W)
+        hy = (1.0 - hndc[..., 1]) * (0.5 * H)
+        hxn = jnp.roll(hx, -1, axis=-1)
+        hyn = jnp.roll(hy, -1, axis=-1)
+        h_area = jnp.sum(hx * hyn - hxn * hy, axis=-1)
+        hsign = jnp.where(h_area >= 0, 1.0, -1.0)[:, None]
+        ha = -(hyn - hy) * hsign
+        hb = (hxn - hx) * hsign
+        hc = -(ha * hx + hb * hy)
+        degenerate = (ha == 0.0) & (hb == 0.0)
+        ha = jnp.where(degenerate, 0.0, ha)
+        hb = jnp.where(degenerate, 0.0, hb)
+        hc = jnp.where(degenerate, 1.0, hc)
+        hull_lines = jnp.stack(
+            [ha, hb, hc, jnp.zeros_like(ha)], axis=-1
+        )  # (C, Hm, 4)
+
+        hx_min = jnp.min(hx, axis=-1)
+        hx_max = jnp.max(hx, axis=-1)
+        hy_min = jnp.min(hy, axis=-1)
+        hy_max = jnp.max(hy, axis=-1)
+        hovx = (hx_min[:, None] <= tile_x0[None, :] + tw) & (
+            hx_max[:, None] >= tile_x0[None, :]
+        )
+        hovy = (hy_min[:, None] <= tile_y0[None, :] + th) & (
+            hy_max[:, None] >= tile_y0[None, :]
+        )
+        h_reject = jnp.zeros((C, nty, ntx), bool)
+        h_accept = jnp.ones((C, nty, ntx), bool)
+        for h_index in range(Hm):
+            a = ha[:, h_index][:, None, None]
+            b = hb[:, h_index][:, None, None]
+            c = hc[:, h_index][:, None, None]
+            lo, hi = _corner_min_max(
+                a, b, c, tile_x0[None, None, :], tile_y0[None, :, None], tw, th
+            )
+            h_reject = h_reject | (hi < 0.0)
+            h_accept = h_accept & (lo > 0.0)
+        h_over = hovy[:, :, None] & hovx[:, None, :] & hvalid[:, None, None]
+        is_cover = jnp.asarray(ops != OP_STENCIL)
+        cls = jnp.where(
+            h_over & is_cover[:, None, None],
+            jnp.where(h_accept, 2, jnp.where(h_reject, 0, 1)),
+            0,
+        ).astype(i32)
+        cls = cls.transpose(1, 2, 0).reshape(n_tiles, C)
+
+        # ---- active command list ---------------------------------------
+        # count for cmd c = off[:, 2c+2] - off[:, 2c]
+        start = off[:, 0:2 * C:2]
+        end = off[:, 2:2 * C + 2:2]
+        local_any = (end - start) > 0
+        g_start = g_off[:, 0:2 * C:2]
+        g_end = g_off[:, 2:2 * C + 2:2]
+        global_any = (g_end - g_start) > 0
+        active = local_any | global_any | (bulk != 0) | (cls > 0)
+        a_rank = jnp.cumsum(active.astype(i32), axis=1) - 1
+        aclist = jnp.zeros((n_tiles, C), i32).at[
+            jnp.broadcast_to(
+                jnp.arange(n_tiles, dtype=i32)[:, None], (n_tiles, C)
+            ).reshape(-1),
+            jnp.where(active, a_rank, C).reshape(-1),
+        ].set(
+            jnp.broadcast_to(
+                jnp.arange(C, dtype=i32)[None, :], (n_tiles, C)
+            ).reshape(-1),
+            mode="drop",
+        )
+        acount = jnp.sum(active.astype(i32), axis=1)
+
+        overflow = jnp.stack(
+            [jnp.max(tile_count), g_total, jnp.max(tile_g_count)]
+        ).astype(i32)
+
+        return PreparedFrame(
+            tri_f=tri_f,
+            tri_i=tri_i,
+            off=off[:, None, :],
+            g_rows_f=g_rows_f,
+            g_rows_i=g_rows_i,
+            glist=glist[:, None, :],
+            g_off=g_off[:, None, :],
+            bulk=bulk[:, None, :],
+            cls=cls[:, None, :],
+            aclist=aclist[:, None, :],
+            acount=acount[:, None, None],
+            hull_lines=hull_lines,
+            overflow=overflow,
+        )
+
+    return prepare
+
+
+# ---------------------------------------------------------------------------
+# rasterize: the Pallas kernel
+# ---------------------------------------------------------------------------
+
+
+def _atan2(y, x):
+    """Vectorized atan2 from elementary ops (Mosaic has no atan2
+    lowering).  Minimax polynomial on [0, 1] + octant reduction;
+    max error ~2e-7 rad — the consumer maps angle/τ into dash pattern
+    space, where this is far below a sample width."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    a = lo / jnp.maximum(hi, 1e-30)
+    s = a * a
+    # atan(a) for a in [0, 1] (Estrin on a degree-17 odd minimax fit).
+    r = jnp.float32(2.90188402868554e-3)
+    r = r * s - jnp.float32(1.62907683983662e-2)
+    r = r * s + jnp.float32(4.30330487210615e-2)
+    r = r * s - jnp.float32(7.53012846110272e-2)
+    r = r * s + jnp.float32(1.06614349190831e-1)
+    r = r * s - jnp.float32(1.42070654521002e-1)
+    r = r * s + jnp.float32(1.99934912843697e-1)
+    r = r * s - jnp.float32(3.33331017859204e-1)
+    r = r * s * a + a
+    r = jnp.where(ay > ax, jnp.float32(0.5 * math.pi) - r, r)
+    r = jnp.where(x < 0.0, jnp.float32(math.pi) - r, r)
+    return jnp.where(y < 0.0, -r, r)
+
+
+def _cap_mask(cap_type, tex_x, tex_y):
+    """Analytic cap predicates (shaders.wgsl:165-189); `cap_type` may be
+    a scalar or a per-sample array; evaluated as a where-chain."""
+    ax = jnp.abs(tex_x)
+    # Boolean algebra instead of select: Mosaic cannot legalize selects
+    # over i1 vectors (and scalar-predicate selects of vectors).
+    out = (cap_type == int(Cap.BUTT)) & (tex_y < 0.0)
+    cases = [
+        tex_y <= 0.5,                                   # SQUARE
+        tex_x * tex_x + tex_y * tex_y < 0.25,           # ROUND
+        0.5 - tex_y > ax,                               # OUT
+        tex_y < ax,                                     # IN
+        0.5 - tex_y > tex_x,                            # RIGHT
+        tex_y - 0.5 < tex_x,                            # LEFT
+    ]
+    for value, case in enumerate(cases):
+        out = out | ((cap_type == value) & case)
+    return out
+
+
+def _dash_mask(desc_f_row, desc_i_row, tex_x, tex_y):
+    """Dashed coverage (shaders.wgsl:205-231) for one descriptor row
+    (scalars) at per-sample pattern position tex_y, side tex_x."""
+    last = desc_i_row[8]
+    phase = desc_f_row[8]
+    gap_start = [desc_f_row[i] for i in range(4)]
+    gap_end = [desc_f_row[4 + i] for i in range(4)]
+    end_caps = [desc_i_row[i] for i in range(4)]
+    start_caps = [desc_i_row[4 + i] for i in range(4)]
+    pattern_len = gap_end[0]
+    for i in range(1, MAX_DASH_INTERVALS):
+        pattern_len = jnp.where(last == i, gap_end[i], pattern_len)
+    position = jnp.remainder(tex_y - phase, pattern_len)
+    interval = jnp.full(position.shape, 0, jnp.int32) + last
+    for i in range(MAX_DASH_INTERVALS - 1, -1, -1):
+        hit = (gap_end[i] - position >= 0.0) & (i <= last)
+        interval = jnp.where(hit, i, interval)
+    g_s = jnp.zeros_like(position)
+    g_e = jnp.zeros_like(position)
+    e_cap = jnp.zeros(position.shape, jnp.int32)
+    s_cap = jnp.zeros(position.shape, jnp.int32)
+    for i in range(MAX_DASH_INTERVALS):
+        sel = interval == i
+        g_s = jnp.where(sel, gap_start[i], g_s)
+        g_e = jnp.where(sel, gap_end[i], g_e)
+        e_cap = jnp.where(sel, end_caps[i], e_cap)
+        s_cap = jnp.where(sel, start_caps[i], s_cap)
+    past = position - g_s
+    in_dash = past <= 0.0
+    cap_a = _cap_mask(e_cap, tex_x, past)
+    cap_b = _cap_mask(s_cap, tex_x, g_e - position)
+    return in_dash | cap_a | cap_b
+
+
+def make_rasterize(spec: FrameSpec):
+    C = spec.n_commands
+    Hm = spec.h_max
+    W, H = spec.width, spec.height
+    tw, th = spec.tile_w, spec.tile_h
+    ntx, nty, n_tiles = spec.ntx, spec.nty, spec.n_tiles
+    K = spec.capacity
+    Kg = spec.tile_global_capacity
+    G = spec.global_capacity
+    S = spec.samples
+    L = max(1, spec.n_layers)
+    winding_mask = (1 << spec.winding_bits) - 1
+    offsets = SAMPLE_PATTERNS[S]
+    front_to_back = spec.blending == "front_to_back"
+
+    def kernel(
+        cmd_i, cmd_f, acount, aclist, off, g_off, bulk, cls, glist,
+        tri_f, tri_i, g_rows_f, g_rows_i, hull_lines, desc_f, desc_i,
+        out_ref, wind, clipb, colorb, layerb, maskb,
+    ):
+        t = pl.program_id(0)
+        tile_x0 = (t % ntx).astype(jnp.float32) * tw
+        tile_y0 = (t // ntx).astype(jnp.float32) * th
+        col = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(
+            jnp.float32
+        )
+        row = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(
+            jnp.float32
+        )
+        # Per-sample offsets as python floats (a captured constant array
+        # would be rejected by pallas_call).
+        px = jnp.stack([tile_x0 + col + float(ox) for ox, _ in offsets])
+        py = jnp.stack([tile_y0 + row + float(oy) for _, oy in offsets])
+
+        wind[...] = jnp.zeros((S, th, tw), jnp.int32)
+        clipb[...] = jnp.zeros((S, th, tw), jnp.int32)
+        colorb[...] = jnp.zeros((4, S, th, tw), jnp.float32)
+        layerb[...] = jnp.zeros((L, S, th, tw), jnp.float32)
+
+        def process_row(rf, ri, clip_ok):
+            """One triangle row against the whole tile."""
+            e0 = rf[0] * px + rf[1] * py + rf[2]
+            e1 = rf[3] * px + rf[4] * py + rf[5]
+            e2 = rf[6] * px + rf[7] * py + rf[8]
+            flags = ri[RI_FLAGS]
+            inside = (
+                ((e0 > 0.0) | ((e0 == 0.0) & ((flags & 1) != 0)))
+                & ((e1 > 0.0) | ((e1 == 0.0) & ((flags & 2) != 0)))
+                & ((e2 > 0.0) | ((e2 == 0.0) & ((flags & 4) != 0)))
+            )
+            kind = ri[RI_KIND]
+            contrib = ri[RI_CONTRIB]
+            grp = ri[RI_GROUP]
+
+            def interp():
+                invA = rf[RF_INV_AREA]
+                l0 = e0 * invA
+                l1 = e1 * invA
+                l2 = e2 * invA
+                ch = [
+                    l0 * rf[RF_AW + c] + l1 * rf[RF_AW + 4 + c]
+                    + l2 * rf[RF_AW + 8 + c]
+                    for c in range(4)
+                ]
+                iw = l0 * rf[RF_IW] + l1 * rf[RF_IW + 1] + l2 * rf[RF_IW + 2]
+                return ch, iw
+
+            @pl.when(kind == KIND_SOLID)
+            def _solid():
+                wind[...] = wind[...] + jnp.where(
+                    inside & clip_ok, contrib, 0
+                )
+
+            @pl.when(
+                (kind == KIND_INTEGRAL_QUADRATIC)
+                | (kind == KIND_RATIONAL_QUADRATIC)
+            )
+            def _quad():
+                ch, _ = interp()
+                keep = ch[0] * ch[0] - ch[1] * ch[2] <= 0.0
+                wind[...] = wind[...] + jnp.where(
+                    inside & keep & clip_ok, contrib, 0
+                )
+
+            @pl.when(
+                (kind == KIND_INTEGRAL_CUBIC) | (kind == KIND_RATIONAL_CUBIC)
+            )
+            def _cubic():
+                ch, _ = interp()
+                keep = ch[0] * ch[0] * ch[0] - ch[1] * ch[2] * ch[3] <= 0.0
+                wind[...] = wind[...] + jnp.where(
+                    inside & keep & clip_ok, contrib, 0
+                )
+
+            @pl.when(kind == KIND_STROKE_LINE)
+            def _line():
+                ch, iw = interp()
+                safe_iw = jnp.where(iw != 0.0, iw, 1.0)
+                tex_x = ch[0] / safe_iw
+                tex_y = ch[1] / safe_iw
+                dashed = desc_i[grp, 9] != 0
+                dash = _dash_mask(desc_f[grp, :], desc_i[grp, :], tex_x, tex_y)
+                end_cap = _cap_mask(
+                    desc_i[grp, 12], tex_x, tex_y - rf[RF_END_Y]
+                )
+                start_cap = _cap_mask(desc_i[grp, 11], tex_x, -tex_y)
+                end_flag = (flags & FLAG_END_CAP) != 0
+                solid = (end_flag & end_cap) | (
+                    ~end_flag & ((tex_y >= 0.0) | start_cap)
+                )
+                keep = (dashed & dash) | (~dashed & solid)
+                covered = inside & keep & clip_ok
+                wind[...] = jnp.where(
+                    covered & (wind[...] == 0), 1, wind[...]
+                )
+
+            @pl.when(kind == KIND_STROKE_JOINT)
+            def _joint():
+                ch, iw = interp()
+                safe_iw = jnp.where(iw != 0.0, iw, 1.0)
+                tex_x = ch[0] / safe_iw
+                tex_y = ch[1] / safe_iw
+                tex_z = ch[2] / safe_iw
+                radius = jnp.sqrt(tex_x * tex_x + tex_y * tex_y)
+                join = desc_i[grp, 10]
+                is_tip = (flags & FLAG_JOINT_TIP) != 0
+                is_bevel = join == int(Join.BEVEL)
+                is_round = join == int(Join.ROUND)
+                # Boolean algebra (no i1-vector selects): miter keeps
+                # everything, bevel drops tip triangles, round keeps the
+                # half-width disc.
+                fill = (
+                    ((~is_bevel & ~is_round) & (radius >= 0.0))
+                    | ((is_bevel & ~is_tip) & (radius >= 0.0))
+                    | (is_round & (radius <= 0.5))
+                )
+                dashed = desc_i[grp, 9] != 0
+                angle = _atan2(tex_y, tex_x) * jnp.float32(1.0 / TAU)
+                dash = _dash_mask(
+                    desc_f[grp, :], desc_i[grp, :], radius, tex_z + angle
+                )
+                keep = fill & (dash | jnp.logical_not(dashed))
+                covered = inside & keep & clip_ok
+                wind[...] = jnp.where(
+                    covered & (wind[...] == 0), 1, wind[...]
+                )
+
+        def cmd_body(k, carry):
+            c = aclist[0, 0, k]
+            op = cmd_i[c, 0]
+            depth = cmd_i[c, 1]
+            layer = cmd_i[c, 2]
+            clip_ok = clipb[...] == depth
+
+            @pl.when(op == OP_STENCIL)
+            def _stencil():
+                def local_body(j, inner):
+                    process_row(tri_f[0, j, :], tri_i[0, j, :], clip_ok)
+                    return inner
+
+                def global_body(j, inner):
+                    g = glist[0, 0, j]
+                    process_row(g_rows_f[g, :], g_rows_i[g, :], clip_ok)
+                    return inner
+
+                jax.lax.fori_loop(
+                    off[0, 0, 2 * c], off[0, 0, 2 * c + 1], local_body, 0
+                )
+                jax.lax.fori_loop(
+                    g_off[0, 0, 2 * c], g_off[0, 0, 2 * c + 1], global_body, 0
+                )
+                jax.lax.fori_loop(
+                    off[0, 0, 2 * c + 1], off[0, 0, 2 * c + 2], local_body, 0
+                )
+                jax.lax.fori_loop(
+                    g_off[0, 0, 2 * c + 1], g_off[0, 0, 2 * c + 2],
+                    global_body, 0,
+                )
+                b = bulk[0, 0, c]
+
+                @pl.when(b != 0)
+                def _bulk():
+                    wind[...] = wind[...] + jnp.where(clip_ok, b, 0)
+
+            @pl.when(op != OP_STENCIL)
+            def _cover():
+                cl = cls[0, 0, c]
+
+                @pl.when(cl > 0)
+                def _active():
+                    @pl.when(cl == 2)
+                    def _full():
+                        maskb[...] = jnp.ones((S, th, tw), jnp.int32)
+
+                    @pl.when(cl == 1)
+                    def _boundary():
+                        acc = jnp.zeros((S, th, tw), jnp.int32) == 0
+                        for h_index in range(Hm):
+                            he = (
+                                hull_lines[c, h_index, 0] * px
+                                + hull_lines[c, h_index, 1] * py
+                                + hull_lines[c, h_index, 2]
+                            )
+                            acc = acc & (he >= 0.0)
+                        maskb[...] = acc.astype(jnp.int32)
+
+                    in_hull = maskb[...] != 0
+                    nonzero = (wind[...] & winding_mask) != 0
+                    cr = cmd_f[c, 0]
+                    cg = cmd_f[c, 1]
+                    cb = cmd_f[c, 2]
+                    ca = cmd_f[c, 3]
+
+                    @pl.when(op == OP_COLOR)
+                    def _color():
+                        # Stencil Less → Zero: paint where winding nonzero
+                        # within clip, reset winding (renderer.rs:736-754).
+                        mask = in_hull & clip_ok & nonzero
+                        src = (cr * ca, cg * ca, cb * ca, ca)
+                        if front_to_back:
+                            remaining = 1.0 - colorb[3]
+                            for chan in range(4):
+                                colorb[chan] = jnp.where(
+                                    mask,
+                                    colorb[chan] + src[chan] * remaining,
+                                    colorb[chan],
+                                )
+                        else:
+                            for chan in range(4):
+                                colorb[chan] = jnp.where(
+                                    mask,
+                                    src[chan] + colorb[chan] * (1.0 - ca),
+                                    colorb[chan],
+                                )
+                        wind[...] = jnp.where(mask, 0, wind[...])
+
+                    @pl.when(op == OP_CLIP)
+                    def _clip():
+                        # Replace on NotEqual: promote winding≠0 into the
+                        # clip counter (renderer.rs:692-710).
+                        mask = in_hull & nonzero
+                        clipb[...] = jnp.where(mask, depth, clipb[...])
+                        wind[...] = jnp.where(mask, 0, wind[...])
+
+                    @pl.when(op == OP_UNCLIP)
+                    def _unclip():
+                        # Replace on Less: demote deeper samples
+                        # (renderer.rs:711-729).
+                        mask = in_hull & (clipb[...] > depth)
+                        clipb[...] = jnp.where(mask, depth, clipb[...])
+                        wind[...] = jnp.where(mask, 0, wind[...])
+
+                    @pl.when(op == OP_SAVE_ALPHA)
+                    def _save():
+                        # Copy frame alpha into the layer texture
+                        # (renderer.rs:767-799, shaders.wgsl:323-338).
+                        mask = in_hull & clip_ok
+                        layerb[layer] = jnp.where(
+                            mask, colorb[3], layerb[layer]
+                        )
+
+                    @pl.when(op == OP_SCALE_ALPHA)
+                    def _scale():
+                        # frame.alpha ← (1-g) + g·frame.alpha
+                        # (renderer.rs:800-828, shaders.wgsl:311-316).
+                        mask = in_hull & clip_ok
+                        colorb[3] = jnp.where(
+                            mask, (1.0 - ca) + ca * colorb[3], colorb[3]
+                        )
+
+                    @pl.when(op == OP_RESTORE_ALPHA)
+                    def _restore():
+                        # frame.alpha ← frame.alpha − (1−saved)(1−g)
+                        # (reverse subtract, renderer.rs:829-861,
+                        # shaders.wgsl:340-355).
+                        mask = in_hull & clip_ok
+                        colorb[3] = jnp.where(
+                            mask,
+                            colorb[3] - (1.0 - layerb[layer]) * (1.0 - ca),
+                            colorb[3],
+                        )
+
+            return carry
+
+        jax.lax.fori_loop(0, acount[0, 0, 0], cmd_body, 0)
+
+        inv_s = jnp.float32(1.0 / S)
+        for chan in range(4):
+            out_ref[0, chan] = jnp.sum(colorb[chan], axis=0) * inv_s
+
+    grid = (n_tiles,)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),                       # cmd_i
+        pl.BlockSpec(memory_space=pltpu.SMEM),                       # cmd_f
+        pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),                       # acount
+        pl.BlockSpec((1, 1, C), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),                       # aclist
+        pl.BlockSpec((1, 1, 2 * C + 1), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),                       # off
+        pl.BlockSpec((1, 1, 2 * C + 1), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),                       # g_off
+        pl.BlockSpec((1, 1, C), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),                       # bulk
+        pl.BlockSpec((1, 1, C), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),                       # cls
+        pl.BlockSpec((1, 1, Kg), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),                       # glist
+        pl.BlockSpec((1, K, D_F), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),                       # tri_f
+        pl.BlockSpec((1, K, D_I), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),                       # tri_i
+        pl.BlockSpec(memory_space=pltpu.VMEM),                       # g_rows_f
+        pl.BlockSpec(memory_space=pltpu.VMEM),                       # g_rows_i
+        pl.BlockSpec(memory_space=pltpu.VMEM),                       # hull_lines
+        pl.BlockSpec(memory_space=pltpu.VMEM),                       # desc_f
+        pl.BlockSpec(memory_space=pltpu.VMEM),                       # desc_i
+    ]
+
+    raster_call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 4, th, tw), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 4, th, tw), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((S, th, tw), jnp.int32),     # wind
+            pltpu.VMEM((S, th, tw), jnp.int32),     # clipb
+            pltpu.VMEM((4, S, th, tw), jnp.float32),  # colorb
+            pltpu.VMEM((L, S, th, tw), jnp.float32),  # layerb
+            pltpu.VMEM((S, th, tw), jnp.int32),     # maskb
+        ],
+        interpret=spec.interpret,
+    )
+
+    def rasterize(prepared: PreparedFrame, cmd_i, cmd_f, desc_f, desc_i):
+        tiles = raster_call(
+            cmd_i, cmd_f,
+            prepared.acount, prepared.aclist, prepared.off, prepared.g_off,
+            prepared.bulk, prepared.cls, prepared.glist,
+            prepared.tri_f, prepared.tri_i,
+            prepared.g_rows_f, prepared.g_rows_i,
+            prepared.hull_lines, desc_f, desc_i,
+        )
+        image = tiles.reshape(nty, ntx, 4, th, tw)
+        image = image.transpose(0, 3, 1, 4, 2).reshape(
+            nty * th, ntx * tw, 4
+        )
+        return image[:H, :W]
+
+    return rasterize

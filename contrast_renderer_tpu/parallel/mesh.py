@@ -43,32 +43,40 @@ def render_sharded(renderer, commands, mesh: Mesh, axis: str = "y"):
     num_bands = mesh.shape[axis]
     assert renderer.height % num_bands == 0, "height must divide the mesh axis"
     band_height = renderer.height // num_bands
+    platform = mesh.devices.reshape(-1)[0].platform
     band_renderer = Renderer(
         renderer.config,
         renderer.width,
         band_height,
-        tile_size=min(renderer.tile_size, band_height),
+        tile_size=min(renderer.tile_h, band_height),
         tile_capacity=renderer.tile_capacity,
+        interpret=(platform == "cpu"),
     )
 
-    # Reuse Renderer.render's host-side packing by rendering through a
-    # shard_map'ed executor: pack once, then map over band indices.
-    packed = band_renderer._pack_commands(commands)
-    (xy, aux, kind, meta, hull, desc_arrays, op, cmd_shape,
-     transform, color, scalar, signature) = packed
-    executor = band_renderer._executors.get(signature)
-    if executor is None:
-        executor = band_renderer._build_executor(signature)
-        band_renderer._executors[signature] = executor
+    # Pack the scene once; each band runs the full prepare+raster
+    # pipeline on a band-adjusted projection (geometry replicated over
+    # the mesh, output rows sharded — the only collective is the
+    # gather of disjoint bands).
+    band_renderer._validate(commands)
+    shapes, shape_index = band_renderer._unique_shapes(commands)
+    _, scene = band_renderer._scene_arrays(shapes)
+    ops = tuple(int(c.operation) for c in commands)
+    cmd_shape = tuple(shape_index[id(c.shape)] for c in commands)
+    spec = band_renderer._spec(ops, cmd_shape, scene)
+    prepare, rasterize = band_renderer._get_executors(spec)
+    cmd_i, cmd_f = Renderer._pack_commands_runtime(commands)
+    desc_f, desc_i = Renderer._pack_descriptors(shapes)
+    transform = np.stack(
+        [np.asarray(c.transform, np.float32) for c in commands]
+    )
+    scene_arrays = scene.arrays
 
     def per_band(band_index, transforms):
         adjusted = band_adjusted_transform(
             transforms, band_index[0], num_bands
         )
-        return executor(
-            xy, aux, kind, meta, hull, desc_arrays, op, cmd_shape,
-            adjusted, color, scalar,
-        )
+        prepared = prepare(*scene_arrays, adjusted)
+        return rasterize(prepared, cmd_i, cmd_f, desc_f, desc_i)
 
     bands = jnp.arange(num_bands, dtype=jnp.int32)
     mapped = jax.shard_map(

@@ -4,54 +4,51 @@ The TPU-native replacement for the reference's wgpu runtime
 (src/renderer.rs).  A frame is a sequence of draw commands — the same
 operations as the reference's `RenderOperation`
 (renderer.rs:143-160): Stencil, Clip, UnClip, Color, SaveAlphaContext,
-ScaleAlphaContext, RestoreAlphaContext — executed by one jitted array
-program that carries explicit per-sample state instead of stencil bits
-and auxiliary textures:
+ScaleAlphaContext, RestoreAlphaContext.
 
-- ``winding`` (H, W, S) int32 — the stencil winding counter
-  (renderer.rs:565-582)
-- ``clip_depth`` (H, W, S) int32 — the clip nesting counter
-  (renderer.rs:692-729)
-- ``color`` (H, W, S, 4) f32 premultiplied RGBA — the MSAA framebuffer
-- ``alpha_layers`` (L, H, W, S) f32 — the alpha-context textures
-  (renderer.rs:892-929)
+Execution is staged for the reference's update economics
+(renderer.rs:63-117, 360-376 update buffers in place; we cache instead):
 
-Stencil commands rasterize the shape's triangle table (tiled, binned,
-MSAA) and add winding where the sample's clip depth matches; cover
-commands apply the winding rule inside the shape's transformed convex
-hull and composite/clip/save alpha exactly as the reference's stencil
-and blend states prescribe (see the per-op comments in `_apply_cover`).
+1. *Scene packing* (host, cached): the shapes' triangle tables and
+   hulls are padded, stacked and uploaded once per shape set.
+2. *prepare* (XLA, cached by transforms): per-command triangle setup
+   and tile binning — reruns only when instance transforms change.
+3. *rasterize* (Pallas, every frame): one kernel walks the command
+   list per tile with winding/clip/color/alpha state resident in VMEM
+   (see ops/coverage.py).  Per-frame host traffic is only the small
+   command-color / clip-depth / dash-descriptor tables, so dash-phase
+   animation streams a few hundred bytes like the reference's partial
+   buffer write.
 """
 
 from __future__ import annotations
 
 import enum
-import functools
-from dataclasses import dataclass, field
-from typing import List, Optional, Sequence, Tuple
+import logging
+from dataclasses import dataclass
+from typing import List, Sequence, Tuple
+
+logger = logging.getLogger("contrast_renderer_tpu")
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from . import dynamic_stroke as ds
+from . import native
 from .convex_hull import andrew
 from .error import (
     ClipStackOverflow,
     DynamicStrokeOptionsIndexOutOfBounds,
     NumberOfStencilBitsIsUnsupported,
     TooManyNestedOpacityGroups,
+    require_finite,
 )
 from .fill import FillBuilder
-from .ops import raster
-from .path import DynamicStrokeOptions, Path
-from .stroke import JOINT_TIP_FLAG, StrokeBuilder
-from .vertex import (
-    END_CAP_FLAG,
-    KIND_STROKE_JOINT,
-    KIND_STROKE_LINE,
-    TriangleTable,
-)
+from .ops import coverage
+from .path import DynamicStrokeOptions, Path, SegmentType
+from .stroke import StrokeBuilder
+from .vertex import KIND_INTEGRAL_QUADRATIC, KIND_SOLID, TriangleTable
 
 
 class RenderOperation(enum.IntEnum):
@@ -70,10 +67,24 @@ class RenderOperation(enum.IntEnum):
 class Configuration:
     """Configurable renderer parameters (reference renderer.rs:379-405).
 
-    `msaa_sample_count` ∈ {1, 4}; up to 2**clip_nesting_counter_bits
-    nested clip shapes; the winding rule is nonzero modulo
-    2**winding_counter_bits (1 bit = even-odd); up to
-    `alpha_layer_count` nested transparency groups.
+    `msaa_sample_count` ∈ {1, 2, 4, 8, 16} (standard sample patterns);
+    up to 2**clip_nesting_counter_bits nested clip shapes; the winding
+    rule is nonzero modulo 2**winding_counter_bits (1 bit = even-odd);
+    up to `alpha_layer_count` nested transparency groups.
+
+    Reference fields that do not exist here, and why:
+
+    - ``cull_mode`` (renderer.rs:385): back-face culling is a GPU
+      rasterizer knob; the coverage kernel accumulates signed winding
+      from both orientations, which is the same arithmetic the
+      stencil front/back increment/decrement pair implements.
+    - ``depth_stencil_format`` / ``depth_compare`` /
+      ``depth_write_enabled`` (renderer.rs:386-392): there is no depth
+      buffer — 2D command order is the only draw order, as in the
+      showcase (its depth test never rejects in-plane geometry).
+    - ``color_attachment_in_stencil_pass`` (renderer.rs:396-398): a
+      wgpu workaround for backends that require a color attachment;
+      stencil commands here are pure array updates.
     """
 
     msaa_sample_count: int = 4
@@ -97,8 +108,61 @@ class Configuration:
             raise NumberOfStencilBitsIsUnsupported(
                 f"clip={self.clip_nesting_counter_bits} winding={self.winding_counter_bits}"
             )
-        if self.msaa_sample_count not in (1, 4):
-            raise ValueError("msaa_sample_count must be 1 or 4")
+        if self.msaa_sample_count not in coverage.SAMPLE_PATTERNS:
+            raise ValueError(
+                "msaa_sample_count must be one of "
+                f"{sorted(coverage.SAMPLE_PATTERNS)}"
+            )
+
+
+_GLYPH_SEGMENTS = (SegmentType.LINE, SegmentType.INTEGRAL_QUADRATIC_CURVE)
+#: Minimum glyph-style path count before the native batch tessellator
+#: takes over from the per-path Python builder.
+_NATIVE_FILL_THRESHOLD = 8
+
+
+def _is_glyph_style(path: Path) -> bool:
+    return all(st in _GLYPH_SEGMENTS for st in path.segment_types)
+
+
+def _native_fill_batch(paths, proto_hull):
+    """Tessellate glyph-style paths (lines + integral quadratics — all
+    TTF outlines) with the native C++ kernel in one batched call; the
+    output is bit-equivalent to FillBuilder's (tests/test_native.py)."""
+    offsets = [0]
+    starts, kinds, points = [], [], []
+    for p in paths:
+        starts.append(p.start)
+        for segment_type, segment in p.iter_segments():
+            cps = segment.control_points
+            if segment_type is SegmentType.LINE:
+                kinds.append(0)
+                points.append([cps[0][0], cps[0][1], 0.0, 0.0])
+            else:
+                kinds.append(1)
+                points.append([cps[0][0], cps[0][1], cps[1][0], cps[1][1]])
+        offsets.append(len(kinds))
+    solid_xy, curve_xy, curve_aux, hull_pts = native.tessellate_quadratic_paths(
+        np.asarray(offsets, np.int64),
+        np.asarray(starts, np.float64),
+        np.asarray(kinds, np.uint8),
+        np.asarray(points, np.float64),
+    )
+    proto_hull.extend(hull_pts)
+    n_solid, n_curve = len(solid_xy), len(curve_xy)
+    aux = np.zeros((n_solid + n_curve, 3, 4), np.float32)
+    aux[n_solid:, :, :3] = curve_aux
+    return TriangleTable(
+        xy=np.concatenate([solid_xy, curve_xy]).astype(np.float32),
+        aux=aux,
+        kind=np.concatenate(
+            [
+                np.full(n_solid, KIND_SOLID, np.int32),
+                np.full(n_curve, KIND_INTEGRAL_QUADRATIC, np.int32),
+            ]
+        ),
+        meta=np.zeros((n_solid + n_curve, 2), np.float32),
+    )
 
 
 class Shape:
@@ -108,17 +172,28 @@ class Shape:
     Tessellates stroked and filled paths into one triangle table (stroke
     triangles first, preserving the reference's draw order,
     renderer.rs:275-336) plus the convex hull used by the cover
-    operations.
+    operations.  Large batches of glyph-style fills (lines + integral
+    quadratics) go through the native C++ tessellator when available.
     """
 
     def __init__(
         self,
         paths: Sequence[Path],
         dynamic_stroke_options: Sequence[DynamicStrokeOptions] = (),
+        use_native: bool = True,
     ):
         proto_hull: List = []
         stroke_builder = StrokeBuilder()
         fill_builder = FillBuilder()
+        fill_paths = [p for p in paths if p.stroke_options is None]
+        native_fills = ()
+        if (
+            use_native
+            and len(fill_paths) >= _NATIVE_FILL_THRESHOLD
+            and native.available()
+            and all(_is_glyph_style(p) for p in fill_paths)
+        ):
+            native_fills = fill_paths
         for path in paths:
             if path.stroke_options is not None:
                 if path.stroke_options.dynamic_stroke_options_group >= len(
@@ -128,11 +203,18 @@ class Shape:
                         f"group {path.stroke_options.dynamic_stroke_options_group}"
                     )
                 stroke_builder.add_path(proto_hull, path)
-            else:
+            elif not native_fills:
                 fill_builder.add_path(proto_hull, path)
-        self.triangles = TriangleTable.concatenate(
-            [stroke_builder.build(), fill_builder.build()]
-        )
+        tables = [stroke_builder.build()]
+        if native_fills:
+            tables.append(_native_fill_batch(native_fills, proto_hull))
+        tables.append(fill_builder.build())
+        self.triangles = TriangleTable.concatenate(tables)
+        # SafeFloat-equivalent boundary validation (safe_float.rs:44-52):
+        # non-finite path coordinates must fail loudly here instead of
+        # flowing silently into binning.
+        require_finite(self.triangles.xy, "path coordinates")
+        require_finite(self.triangles.aux, "curve weights")
         self.convex_hull = andrew(
             np.asarray(proto_hull).reshape(-1, 2)
             if proto_hull
@@ -169,81 +251,12 @@ class DrawCommand:
     alpha_layer: int = 0
 
 
-class Renderer:
-    """Executes frames of draw commands on the device
-    (replaces reference Renderer, renderer.rs:408-884)."""
+class _SceneArrays:
+    """Padded, stacked, device-resident geometry for a set of shapes."""
 
-    def __init__(
-        self,
-        config: Configuration,
-        width: int,
-        height: int,
-        tile_size: int = 32,
-        tile_capacity: int = 512,
-    ):
-        self.config = config
-        self.width = int(width)
-        self.height = int(height)
-        self.tile_size = int(tile_size)
-        self.tile_capacity = int(tile_capacity)
-        self._executors = {}
-
-    # ------------------------------------------------------------------
-
-    def render(self, commands: Sequence[DrawCommand], background=None):
-        """Render a frame; returns (H, W, 4) premultiplied RGBA float32.
-
-        Commands sharing a Shape reuse its tables; the jitted executor is
-        cached by the frame's static signature (command count, padded
-        table sizes), so animating transforms/colors/dash phases does not
-        retrace.
-        """
-        packed = self._pack_commands(commands)
-        (xy, aux, kind, meta, hull, desc_arrays, op, cmd_shape,
-         transform, color, scalar, signature) = packed
-        executor = self._executors.get(signature)
-        if executor is None:
-            executor = self._build_executor(signature)
-            self._executors[signature] = executor
-        image = executor(
-            xy, aux, kind, meta, hull, desc_arrays, op, cmd_shape,
-            transform, color, scalar,
-        )
-        if isinstance(image, tuple):
-            self._debug = tuple(np.asarray(x) for x in image[1:])
-            image = image[0]
-        image = np.asarray(image)
-        if background is not None:
-            alpha = image[..., 3:4]
-            image = image + np.asarray(background, np.float32) * (1.0 - alpha)
-        return image
-
-
-    def _pack_commands(self, commands):
-        """Validate and pack a command list into padded device arrays +
-        the executor cache signature (shared by render and the
-        band-sharded multi-chip path)."""
-        config = self.config
-        for command in commands:
-            if command.clip_depth >= (1 << config.clip_nesting_counter_bits):
-                raise ClipStackOverflow(str(command.clip_depth))
-            if command.operation in (
-                RenderOperation.SAVE_ALPHA_CONTEXT,
-                RenderOperation.SCALE_ALPHA_CONTEXT,
-                RenderOperation.RESTORE_ALPHA_CONTEXT,
-            ) and command.alpha_layer >= config.alpha_layer_count:
-                raise TooManyNestedOpacityGroups(str(command.alpha_layer))
-
-        shapes = []
-        shape_ids = {}
-        for command in commands:
-            if id(command.shape) not in shape_ids:
-                shape_ids[id(command.shape)] = len(shapes)
-                shapes.append(command.shape)
-
+    def __init__(self, shapes: Sequence[Shape]):
         t_max = max(1, max(len(s.triangles) for s in shapes))
-        h_max = max(3, max(len(s.convex_hull) for s in shapes))
-        g_max = max(1, max(len(s.descriptors.phase) for s in shapes))
+        h_max = max(4, max(len(s.convex_hull) for s in shapes))
 
         def pad_tables(shape):
             t = shape.triangles
@@ -261,371 +274,238 @@ class Renderer:
             return xy, aux, kind, meta, hull
 
         padded = [pad_tables(s) for s in shapes]
-        xy = np.stack([p[0] for p in padded])
-        aux = np.stack([p[1] for p in padded])
-        kind = np.stack([p[2] for p in padded])
-        meta = np.stack([p[3] for p in padded])
-        hull = np.stack([p[4] for p in padded])
+        gbase = np.cumsum(
+            [0] + [len(s.descriptors.phase) for s in shapes[:-1]]
+        ).astype(np.int32)
+        self.t_max = t_max
+        self.h_max = h_max
+        self.n_shapes = len(shapes)
+        self.xy = jnp.asarray(np.stack([p[0] for p in padded]))
+        self.aux = jnp.asarray(np.stack([p[1] for p in padded]))
+        self.kind = jnp.asarray(np.stack([p[2] for p in padded]))
+        self.meta = jnp.asarray(np.stack([p[3] for p in padded]))
+        self.hull = jnp.asarray(np.stack([p[4] for p in padded]))
+        self.gbase = jnp.asarray(gbase)
 
-        def pad_descriptors(shape):
-            d = shape.descriptors
-            g = len(d.phase)
-            pad = g_max - g
+    @property
+    def arrays(self):
+        return (self.xy, self.aux, self.kind, self.meta, self.gbase, self.hull)
 
-            def p(a, fill=0):
-                return np.concatenate(
-                    [a, np.full((pad,) + a.shape[1:], fill, a.dtype)]
-                )
 
-            return [
-                p(d.gap_start),
-                p(d.gap_end, 1),
-                p(d.end_caps),
-                p(d.start_caps),
-                p(d.last_interval),
-                p(d.dashed),
-                p(d.join),
-                p(d.phase),
-                p(d.solid_start_cap),
-                p(d.solid_end_cap),
-            ]
+def _next_pow2(n: int) -> int:
+    out = 1
+    while out < n:
+        out *= 2
+    return out
 
-        desc_arrays = [np.stack(a) for a in zip(*(pad_descriptors(s) for s in shapes))]
 
-        op = np.array([int(c.operation) for c in commands], np.int32)
-        cmd_shape = np.array(
-            [shape_ids[id(c.shape)] for c in commands], np.int32
-        )
-        transform = np.stack(
-            [np.asarray(c.transform, np.float32) for c in commands]
-        )
-        color = np.stack(
-            [np.asarray(c.color, np.float32) for c in commands]
-        )
-        scalar = np.stack(
-            [
-                np.array(
-                    [c.clip_depth, c.alpha_layer], np.int32
-                )
-                for c in commands
-            ]
-        )
+class Renderer:
+    """Executes frames of draw commands on the device
+    (replaces reference Renderer, renderer.rs:408-884)."""
 
-        signature = (len(commands), len(shapes), t_max, h_max, g_max)
-        return (
-            xy, aux, kind, meta, hull, desc_arrays, op, cmd_shape,
-            transform, color, scalar, signature,
-        )
+    def __init__(
+        self,
+        config: Configuration,
+        width: int,
+        height: int,
+        tile_size: int = 32,
+        tile_capacity: int = 256,
+        interpret=None,
+    ):
+        self.config = config
+        self.width = int(width)
+        self.height = int(height)
+        #: Tile height; tiles are (tile_h × 128) to match VPU lanes.
+        self.tile_h = max(8, min(int(tile_size), 32))
+        self.tile_w = 128
+        self.tile_capacity = int(tile_capacity)
+        self._global_capacity = 1024
+        self._tile_global_capacity = 128
+        self._interpret = interpret
+        self._executors = {}
+        self._scene_cache = {}
+        self._prepared_cache = {}
+        #: Per-stage counters of the last rendered frame (observability).
+        self.stats = {}
 
     # ------------------------------------------------------------------
 
-    def _build_executor(self, signature):
-        n_commands, n_shapes, t_max, h_max, g_max = signature
-        width, height = self.width, self.height
-        tile_size = self.tile_size
-        capacity = min(self.tile_capacity, t_max)
+    def _interpret_flag(self) -> bool:
+        if self._interpret is None:
+            self._interpret = jax.default_backend() == "cpu"
+        return self._interpret
+
+    def _validate(self, commands):
         config = self.config
-        num_tiles_x = -(-width // tile_size)
-        num_tiles_y = -(-height // tile_size)
-        n_tiles = num_tiles_x * num_tiles_y
-        pad_w = num_tiles_x * tile_size
-        pad_h = num_tiles_y * tile_size
-        offsets = raster.MSAA4 if config.msaa_sample_count == 4 else raster.MSAA1
-        offsets = jnp.asarray(offsets)
-        n_samples = offsets.shape[0]
-        winding_mask = (1 << config.winding_counter_bits) - 1
-        n_layers = max(1, config.alpha_layer_count)
+        for command in commands:
+            if command.clip_depth >= (1 << config.clip_nesting_counter_bits):
+                raise ClipStackOverflow(str(command.clip_depth))
+            if command.operation in (
+                RenderOperation.SAVE_ALPHA_CONTEXT,
+                RenderOperation.SCALE_ALPHA_CONTEXT,
+                RenderOperation.RESTORE_ALPHA_CONTEXT,
+            ) and command.alpha_layer >= config.alpha_layer_count:
+                raise TooManyNestedOpacityGroups(str(command.alpha_layer))
 
-        yy, xx = jnp.meshgrid(
-            jnp.arange(tile_size, dtype=jnp.float32),
-            jnp.arange(tile_size, dtype=jnp.float32),
-            indexing="ij",
+    def _unique_shapes(self, commands):
+        shapes = []
+        shape_index = {}
+        for command in commands:
+            if id(command.shape) not in shape_index:
+                shape_index[id(command.shape)] = len(shapes)
+                shapes.append(command.shape)
+        return shapes, shape_index
+
+    def _scene_arrays(self, shapes) -> Tuple[tuple, _SceneArrays]:
+        key = tuple(id(s) for s in shapes)
+        scene = self._scene_cache.get(key)
+        if scene is None:
+            scene = _SceneArrays(shapes)
+            if len(self._scene_cache) >= 8:
+                self._scene_cache.pop(next(iter(self._scene_cache)))
+            self._scene_cache[key] = scene
+        return key, scene
+
+    def _spec(self, ops, cmd_shape, scene) -> coverage.FrameSpec:
+        return coverage.FrameSpec(
+            width=self.width,
+            height=self.height,
+            ops=ops,
+            cmd_shape=cmd_shape,
+            n_shapes=scene.n_shapes,
+            t_max=scene.t_max,
+            h_max=scene.h_max,
+            samples=self.config.msaa_sample_count,
+            winding_bits=self.config.winding_counter_bits,
+            n_layers=self.config.alpha_layer_count,
+            blending=self.config.blending,
+            tile_h=self.tile_h,
+            tile_w=self.tile_w,
+            capacity=self.tile_capacity,
+            global_capacity=self._global_capacity,
+            tile_global_capacity=self._tile_global_capacity,
+            interpret=self._interpret_flag(),
         )
-        base = jnp.stack([xx, yy], axis=-1)
-        local = (base[:, :, None, :] + offsets[None, None, :, :]).reshape(-1, 2)
 
-        def tiled(array):
-            """(pad_h, pad_w, S, *extra) → (n_tiles, tile²·S, *extra);
-            the flattened per-tile axis matches `local`'s (pixel, sample)
-            ordering."""
-            extra = array.shape[3:]
-            a = array.reshape(
-                num_tiles_y, tile_size, num_tiles_x, tile_size, n_samples, *extra
+    def _get_executors(self, spec):
+        execs = self._executors.get(spec)
+        if execs is None:
+            execs = (
+                jax.jit(coverage.make_prepare(spec)),
+                jax.jit(coverage.make_rasterize(spec)),
             )
-            a = jnp.moveaxis(a, 2, 1)
-            return a.reshape(n_tiles, tile_size * tile_size * n_samples, *extra)
+            self._executors[spec] = execs
+        return execs
 
-        def untiled(a, extra=()):
-            out = a.reshape(
-                num_tiles_y, num_tiles_x, tile_size, tile_size, n_samples, *extra
-            )
-            out = jnp.moveaxis(out, 1, 2)
-            return out.reshape(pad_h, pad_w, n_samples, *extra)
+    @staticmethod
+    def _pack_descriptors(shapes):
+        tables = [s.descriptors for s in shapes]
+        n = sum(len(t.phase) for t in tables)
+        desc_f = np.zeros((max(1, n), coverage.DESC_F), np.float32)
+        desc_i = np.zeros((max(1, n), coverage.DESC_I), np.int32)
+        base = 0
+        for t in tables:
+            g = len(t.phase)
+            desc_f[base:base + g, 0:4] = t.gap_start
+            desc_f[base:base + g, 4:8] = t.gap_end
+            desc_f[base:base + g, 8] = t.phase
+            desc_i[base:base + g, 0:4] = t.end_caps
+            desc_i[base:base + g, 4:8] = t.start_caps
+            desc_i[base:base + g, 8] = t.last_interval
+            desc_i[base:base + g, 9] = t.dashed
+            desc_i[base:base + g, 10] = t.join
+            desc_i[base:base + g, 11] = t.solid_start_cap
+            desc_i[base:base + g, 12] = t.solid_end_cap
+            base += g
+        return desc_f, desc_i
 
-        def executor(
-            xy, aux, kind, meta, hull, desc_arrays, op, cmd_shape,
-            transform, color, scalar,
-        ):
-            descriptors = ds.StrokeDescriptorTable(*desc_arrays)
+    @staticmethod
+    def _pack_commands_runtime(commands):
+        cmd_i = np.array(
+            [
+                [int(c.operation), c.clip_depth, c.alpha_layer, 0]
+                for c in commands
+            ],
+            np.int32,
+        )
+        cmd_f = np.zeros((len(commands), 8), np.float32)
+        cmd_f[:, 0:4] = [c.color for c in commands]
+        return cmd_i, cmd_f
 
-            def command_step(state, command):
-                winding, clip, colorbuf, layers = state
-                (c_op, c_shape, c_transform, c_color, c_scalar) = command
-                setup = raster.setup_triangles(
-                    xy[c_shape], aux[c_shape], kind[c_shape], meta[c_shape],
-                    c_transform, width, height,
-                )
-                indices, valid, _ = raster.bin_triangles(
-                    setup.aabb, setup.contribution,
-                    num_tiles_x, num_tiles_y, tile_size, capacity,
-                )
-                # Transformed hull edges for cover coverage (convex
-                # point-in-polygon; hull is CCW in model space).
-                hp = hull[c_shape]  # (Hmax, 2)
-                ones = jnp.ones((h_max, 1), jnp.float32)
-                hclip = (
-                    jnp.concatenate(
-                        [hp, jnp.zeros((h_max, 1), jnp.float32), ones], axis=1
-                    )
-                    @ c_transform.T
-                )
-                hw = hclip[:, 3]
-                hndc = hclip[:, :2] / hw[:, None]
-                hpx = (hndc[:, 0] + 1.0) * (0.5 * width)
-                hpy = (1.0 - hndc[:, 1]) * (0.5 * height)
-                hv = jnp.stack([hpx, hpy], axis=-1)
-                hv_next = jnp.roll(hv, -1, axis=0)
-                hull_valid = jnp.all(hw > 0.0)
-                # Hull orientation in pixel space (shoelace).
-                hull_area = jnp.sum(
-                    hv[:, 0] * hv_next[:, 1] - hv_next[:, 0] * hv[:, 1]
-                )
-                hull_sign = jnp.where(hull_area >= 0, 1.0, -1.0)
+    # ------------------------------------------------------------------
 
-                current_depth = c_scalar[0]
-                layer_index = c_scalar[1]
-                group_flags = setup.meta[:, 0].astype(jnp.int32)
-                tri_group = jnp.clip(group_flags & 0xFFFF, 0, g_max - 1)
-                tri_end_flag = (group_flags & END_CAP_FLAG) != 0
-                tri_tip_flag = (group_flags & JOINT_TIP_FLAG) != 0
-                tri_is_stroke = (setup.kind == KIND_STROKE_LINE) | (
-                    setup.kind == KIND_STROKE_JOINT
-                )
-                tri_is_joint = setup.kind == KIND_STROKE_JOINT
-                shape_desc = ds.StrokeDescriptorTable(
-                    *[a[c_shape] for a in desc_arrays]
-                )
+    def render(
+        self,
+        commands: Sequence[DrawCommand],
+        background=None,
+        to_host: bool = True,
+    ):
+        """Render a frame; returns (H, W, 4) premultiplied RGBA float32.
 
-                def tile_body(tile_index, tw, tc, tcol, tlay):
-                    tx = (tile_index % num_tiles_x).astype(jnp.float32) * tile_size
-                    ty = (tile_index // num_tiles_x).astype(jnp.float32) * tile_size
-                    pos = local + jnp.stack([tx, ty])  # (P, 2)
-                    clip_ok = tc == current_depth
+        The compiled program is cached by the frame's static signature
+        (command structure, padded table sizes); the binning stage is
+        additionally cached by the instance transforms, so animating
+        colors/clip depths/dash phases re-runs only the raster kernel.
 
-                    def stencil():
-                        idx = indices[tile_index]
-                        tvalid = valid[tile_index]
-                        edge = setup.edge[idx]
-                        top_left = setup.edge_top_left[idx]
-                        bary = setup.bary[idx]
-                        aux_w = setup.aux_w[idx]
-                        inv_w = setup.inv_w[idx]
-                        tkind = setup.kind[idx]
-                        contrib = setup.contribution[idx]
-                        e = (
-                            (pos[:, None, None, 0] - edge[None, :, :, 2])
-                            * edge[None, :, :, 0]
-                            + (pos[:, None, None, 1] - edge[None, :, :, 3])
-                            * edge[None, :, :, 1]
-                        )
-                        inside = jnp.all(
-                            (e > 0.0) | ((e == 0.0) & top_left[None, :, :]),
-                            axis=-1,
-                        )
-                        lam = (
-                            (pos[:, None, None, 0] - bary[None, :, :, 2])
-                            * bary[None, :, :, 0]
-                            + (pos[:, None, None, 1] - bary[None, :, :, 3])
-                            * bary[None, :, :, 1]
-                        )
-                        interp_aux = raster.interpolate_attributes(lam, aux_w)
-                        fill_keep = raster._fill_predicates(tkind, interp_aux)
-                        # Strokes need the true texcoords (persp division).
-                        interp_inv_w = raster.interpolate_scalar(lam, inv_w)
-                        tex = interp_aux / interp_inv_w[..., None]
-                        k_group = tri_group[idx]
-                        line_keep = ds.stroke_line_predicate(
-                            jnp, shape_desc, k_group,
-                            tex[..., 0], tex[..., 1],
-                            tri_end_flag[idx][None, :],
-                            setup.meta[idx, 1][None, :],
-                        )
-                        joint_keep = ds.stroke_joint_predicate(
-                            jnp, shape_desc, k_group,
-                            tex[..., 0], tex[..., 1], tex[..., 2],
-                            tri_tip_flag[idx][None, :],
-                        )
-                        stroke_keep = jnp.where(
-                            tri_is_joint[idx][None, :], joint_keep, line_keep
-                        )
-                        is_stroke = tri_is_stroke[idx]
-                        active = inside & tvalid[None, :]
-                        fill_active = active & ~is_stroke[None, :] & fill_keep
-                        stroke_active = active & is_stroke[None, :] & stroke_keep
-                        delta = jnp.sum(
-                            jnp.where(fill_active, contrib[None, :], 0),
-                            axis=1, dtype=jnp.int32,
-                        )
-                        stroke_cover = jnp.any(stroke_active, axis=1)
-                        new_w = tw + jnp.where(
-                            clip_ok,
-                            delta + jnp.where(
-                                stroke_cover & (tw == 0), 1, 0
-                            ),
-                            0,
-                        )
-                        return new_w, tc, tcol, tlay
+        ``to_host=False`` returns the device array without a host copy —
+        the equivalent of the reference presenting on-GPU; fetching a
+        1080p f32 frame over a remote-TPU link costs more than rendering
+        it.
+        """
+        self._validate(commands)
+        shapes, shape_index = self._unique_shapes(commands)
+        scene_key, scene = self._scene_arrays(shapes)
+        ops = tuple(int(c.operation) for c in commands)
+        cmd_shape = tuple(shape_index[id(c.shape)] for c in commands)
+        transforms = np.stack(
+            [np.asarray(c.transform, np.float32) for c in commands]
+        )
+        require_finite(transforms, "command transforms")
 
-                    def cover():
-                        # Convex hull coverage for this tile's samples.
-                        he = (
-                            (hv_next[None, :, 0] - hv[None, :, 0])
-                            * (pos[:, None, 1] - hv[None, :, 1])
-                            - (hv_next[None, :, 1] - hv[None, :, 1])
-                            * (pos[:, None, 0] - hv[None, :, 0])
-                        ) * hull_sign
-                        in_hull = jnp.all(he >= 0.0, axis=1) & hull_valid
-                        nonzero = (tw & winding_mask) != 0
-                        clip_ok_ = tc == current_depth
+        for _attempt in range(4):
+            spec = self._spec(ops, cmd_shape, scene)
+            prepare, rasterize = self._get_executors(spec)
+            pkey = (spec, scene_key, transforms.tobytes())
+            prepared = self._prepared_cache.get(pkey)
+            if prepared is None:
+                prepared = prepare(*scene.arrays, jnp.asarray(transforms))
+                overflow = np.asarray(prepared.overflow)
+                self.stats = {
+                    "commands": len(commands),
+                    "shapes": len(shapes),
+                    "triangles_per_shape": scene.t_max,
+                    "tiles": spec.n_tiles,
+                    "max_tile_entries": int(overflow[0]),
+                    "global_triangles": int(overflow[1]),
+                    "max_tile_globals": int(overflow[2]),
+                }
+                logger.debug("prepare: %s", self.stats)
+                grew = False
+                if overflow[0] > spec.capacity:
+                    self.tile_capacity = _next_pow2(int(overflow[0]))
+                    grew = True
+                if overflow[1] > spec.global_capacity:
+                    self._global_capacity = _next_pow2(int(overflow[1]))
+                    grew = True
+                if overflow[2] > spec.tile_global_capacity:
+                    self._tile_global_capacity = _next_pow2(int(overflow[2]))
+                    grew = True
+                if grew:
+                    continue
+                if len(self._prepared_cache) >= 8:
+                    self._prepared_cache.pop(next(iter(self._prepared_cache)))
+                self._prepared_cache[pkey] = prepared
+            break
+        else:
+            raise RuntimeError("tile binning capacity did not converge")
 
-                        def color_cover():
-                            # Stencil Less → Zero: paint where winding
-                            # nonzero within clip, reset winding
-                            # (renderer.rs:736-754, shaders.wgsl:304-309).
-                            m = in_hull & clip_ok_ & nonzero
-                            src = jnp.concatenate(
-                                [c_color[:3] * c_color[3], c_color[3:4]]
-                            )
-                            if config.blending == "back_to_front":
-                                blended = src[None, :] + tcol * (1.0 - c_color[3])
-                            else:
-                                # Front-to-back: weight by remaining
-                                # transparency (1 - dst alpha).
-                                remaining = 1.0 - tcol[:, 3:4]
-                                blended = tcol + src[None, :] * remaining
-                            new_col = jnp.where(m[:, None], blended, tcol)
-                            new_w = jnp.where(m, 0, tw)
-                            return new_w, tc, new_col, tlay
-
-                        def clip_push():
-                            # Replace on NotEqual(winding): promote
-                            # winding≠0 samples into the clip counter
-                            # (renderer.rs:692-710).
-                            m = in_hull & nonzero
-                            new_c = jnp.where(m, current_depth, tc)
-                            new_w = jnp.where(m, 0, tw)
-                            return new_w, new_c, tcol, tlay
-
-                        def clip_pop():
-                            # Replace on Less(clip): demote deeper samples
-                            # (renderer.rs:711-729).
-                            m = in_hull & (tc > current_depth)
-                            new_c = jnp.where(m, current_depth, tc)
-                            new_w = jnp.where(m, 0, tw)
-                            return new_w, new_c, tcol, tlay
-
-                        def save_alpha():
-                            # Copy frame alpha into the layer texture
-                            # (renderer.rs:767-799, shaders.wgsl:323-338).
-                            m = in_hull & clip_ok_
-                            new_layer = jnp.where(m, tcol[:, 3], tlay[layer_index])
-                            new_lay = tlay.at[layer_index].set(new_layer)
-                            return tw, tc, tcol, new_lay
-
-                        def scale_alpha():
-                            # frame.alpha ← (1-g) + g*frame.alpha
-                            # (renderer.rs:800-828, shaders.wgsl:311-316).
-                            m = in_hull & clip_ok_
-                            g = c_color[3]
-                            new_a = jnp.where(
-                                m, (1.0 - g) + g * tcol[:, 3], tcol[:, 3]
-                            )
-                            new_col = tcol.at[:, 3].set(new_a)
-                            return tw, tc, new_col, tlay
-
-                        def restore_alpha():
-                            # frame.alpha ← frame.alpha − (1−saved)(1−g)
-                            # (reverse subtract, renderer.rs:829-861,
-                            # shaders.wgsl:340-355).
-                            m = in_hull & clip_ok_
-                            saved = tlay[layer_index]
-                            g = c_color[3]
-                            new_a = jnp.where(
-                                m,
-                                tcol[:, 3] - (1.0 - saved) * (1.0 - g),
-                                tcol[:, 3],
-                            )
-                            new_col = tcol.at[:, 3].set(new_a)
-                            return tw, tc, new_col, tlay
-
-                        return jax.lax.switch(
-                            jnp.clip(c_op - 1, 0, 5),
-                            [
-                                clip_push,
-                                clip_pop,
-                                color_cover,
-                                save_alpha,
-                                scale_alpha,
-                                restore_alpha,
-                            ],
-                        )
-
-                    return jax.lax.cond(c_op == 0, stencil, cover)
-
-                w_t = tiled(winding)
-                c_t = tiled(clip)
-                col_t = tiled(colorbuf)
-                lay_t = jnp.moveaxis(
-                    jnp.stack([tiled(layers[i]) for i in range(n_layers)]),
-                    0, 1,
-                )  # (n_tiles, L, P)
-
-                def mapped(args):
-                    tile_index, tw, tc, tcol, tlay = args
-                    return tile_body(tile_index, tw, tc, tcol, tlay)
-
-                new_w, new_c, new_col, new_lay = jax.lax.map(
-                    mapped,
-                    (
-                        jnp.arange(n_tiles, dtype=jnp.int32),
-                        w_t,
-                        c_t,
-                        col_t,
-                        lay_t,
-                    ),
-                )
-                winding = untiled(new_w)
-                clip = untiled(new_c)
-                colorbuf = untiled(new_col, (4,))
-                layers = jnp.stack(
-                    [untiled(new_lay[:, i]) for i in range(n_layers)]
-                )
-                return (winding, clip, colorbuf, layers), None
-
-            winding0 = jnp.zeros((pad_h, pad_w, n_samples), jnp.int32)
-            clip0 = jnp.zeros((pad_h, pad_w, n_samples), jnp.int32)
-            color0 = jnp.zeros((pad_h, pad_w, n_samples, 4), jnp.float32)
-            layers0 = jnp.zeros((n_layers, pad_h, pad_w, n_samples), jnp.float32)
-
-            (winding, clip, colorbuf, layers), _ = jax.lax.scan(
-                command_step,
-                (winding0, clip0, color0, layers0),
-                (op, cmd_shape, transform, color, scalar),
-            )
-            resolved = jnp.mean(colorbuf, axis=2)  # MSAA resolve
-            import os as _os
-            if _os.environ.get("CONTRAST_DEBUG_STATE"):
-                return resolved[:height, :width], winding, clip
-            return resolved[:height, :width]
-
-        return jax.jit(executor)
+        cmd_i, cmd_f = self._pack_commands_runtime(commands)
+        desc_f, desc_i = self._pack_descriptors(shapes)
+        image = rasterize(prepared, cmd_i, cmd_f, desc_f, desc_i)
+        if not to_host:
+            return image
+        image = np.asarray(image)
+        if background is not None:
+            alpha = image[..., 3:4]
+            image = image + np.asarray(background, np.float32) * (1.0 - alpha)
+        return image

@@ -52,13 +52,21 @@ class TestMultiChip:
 
         from contrast_renderer_tpu.parallel import render_sharded
 
+        # Explicit virtual-CPU mesh: the session default platform may be
+        # a single real TPU, which cannot host a multi-device mesh.
+        cpu_devices = jax.devices("cpu")
+        n = min(4, len(cpu_devices))
+        assert n >= 2, "need multiple virtual CPU devices (XLA_FLAGS)"
         width, height = 64, 64
-        n = 4
-        mesh = Mesh(np.array(jax.devices()[:n]), ("y",))
-        renderer = Renderer(Configuration(), width, height, tile_size=16)
+        mesh = Mesh(np.array(cpu_devices[:n]), ("y",))
         commands = showcase.showcase_commands(shape, width, height)[:4]
+        renderer = Renderer(Configuration(), width, height, tile_size=16)
         sharded = render_sharded(renderer, commands, mesh)
-        single = renderer.render(commands)
+        with jax.default_device(cpu_devices[0]):
+            single_renderer = Renderer(
+                Configuration(), width, height, tile_size=16, interpret=True
+            )
+            single = single_renderer.render(commands)
         assert sharded.shape == single.shape
         mismatch = np.mean(np.abs(sharded - single))
         assert mismatch < 1e-4, mismatch
