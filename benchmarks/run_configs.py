@@ -18,10 +18,15 @@ import numpy as np  # noqa: E402
 
 
 def _timed_frames(frame, n):
-    frame(0)  # compile
+    """Device-side frame throughput: frames dispatched back-to-back,
+    device drained once (see bench.py — host readback of f32 frames
+    over the remote-TPU link is not part of a frame)."""
+    image = frame(0)  # compile
+    image.block_until_ready()
     start = time.perf_counter()
     for i in range(n):
-        frame(i + 1)
+        image = frame(i + 1)
+    image.block_until_ready()
     return n / (time.perf_counter() - start)
 
 
@@ -115,7 +120,7 @@ def config2(frames):
     ]
 
     def frame(i):
-        return renderer.render(commands)
+        return renderer.render(commands, to_host=False)
 
     fps = _timed_frames(frame, frames)
     emit(
@@ -180,7 +185,7 @@ def config3(frames):
     def frame(i):
         for g, join in enumerate(joins):
             shape.set_dynamic_stroke_options(g, dashed(join, i * 0.3))
-        return renderer.render(commands)
+        return renderer.render(commands, to_host=False)
 
     fps = _timed_frames(frame, frames)
     emit(
@@ -210,7 +215,7 @@ def config4(frames):
     )
     text = "\n".join(
         "the quick brown fox jumps over the lazy dog 0123456789 " * 2
-        for _ in range(92)
+        for _ in range(112)
     )
     n_glyphs = sum(1 for ch in text if not ch.isspace())
     t0 = time.perf_counter()
@@ -237,7 +242,7 @@ def config4(frames):
     ]
 
     def frame(i):
-        return renderer.render(commands)
+        return renderer.render(commands, to_host=False)
 
     fps = _timed_frames(frame, frames)
     emit(
@@ -267,7 +272,7 @@ def config5(frames):
         shape.set_dynamic_stroke_options(
             0, showcase.dashed_options(i * 0.032)
         )
-        return renderer.render(commands)
+        return renderer.render(commands, to_host=False)
 
     fps = _timed_frames(frame, frames)
     emit(

@@ -501,7 +501,7 @@ def make_prepare(spec: FrameSpec):
         tile_g_count = g_off[:, -1]
         g_off = jnp.minimum(g_off, Kg)
 
-        # ---- cover commands: hull lines + per-tile class ---------------
+        # ---- cover commands: near-plane clip + hull lines + class ------
         hp = hull[jnp.asarray(cmd_shape)]        # (C, Hm, 2)
         ones = jnp.ones((C, Hm, 1), f32)
         hclip = jnp.einsum(
@@ -510,10 +510,45 @@ def make_prepare(spec: FrameSpec):
             transforms,
             precision=jax.lax.Precision.HIGHEST,
         )
-        hw = hclip[..., 3]
-        hvalid = jnp.all(hw > 0.0, axis=-1)
-        hiw = jnp.where(hw != 0.0, 1.0 / hw, 0.0)
-        hndc = hclip[..., :2] * hiw[..., None]
+        # Sutherland–Hodgman clip of the convex hull against w > eps —
+        # the GPU hardware near-plane clip the reference relies on.  A
+        # hull vertex behind the camera therefore no longer disables the
+        # whole cover command; the visible part keeps rendering.
+        H2 = Hm + 2
+        eps = jnp.float32(1e-5)
+        b_vert = jnp.roll(hclip, -1, axis=1)
+        wa = hclip[..., 3]
+        wb = b_vert[..., 3]
+        in_a = wa > eps
+        denom = jnp.where(wb - wa != 0.0, wb - wa, 1.0)
+        t_int = (eps - wa) / denom
+        inter = hclip + t_int[..., None] * (b_vert - hclip)
+        out_v = jnp.stack([hclip, inter], axis=2).reshape(C, 2 * Hm, 4)
+        out_valid = jnp.stack(
+            [in_a, in_a != (wb > eps)], axis=2
+        ).reshape(C, 2 * Hm)
+        h_rank = jnp.cumsum(out_valid.astype(i32), axis=1) - 1
+        h_count = jnp.sum(out_valid.astype(i32), axis=1)  # (C,)
+        rows_c = jnp.broadcast_to(
+            jnp.arange(C, dtype=i32)[:, None], (C, 2 * Hm)
+        )
+        slot = jnp.where(out_valid, jnp.minimum(h_rank, H2), H2)
+        clipped = jnp.zeros((C * (H2 + 1), 4), f32).at[
+            (rows_c * (H2 + 1) + slot).reshape(-1)
+        ].set(out_v.reshape(-1, 4), mode="drop").reshape(C, H2 + 1, 4)[
+            :, :H2
+        ]
+        # Pad unused slots with the first clipped vertex so the padded
+        # edges are degenerate (replaced by pass lines below).
+        in_use = (
+            jnp.arange(H2, dtype=i32)[None, :] < jnp.minimum(h_count, H2)[:, None]
+        )
+        clipped = jnp.where(in_use[..., None], clipped, clipped[:, 0:1, :])
+        hvalid = h_count >= 3
+
+        hw = clipped[..., 3]
+        hiw = jnp.where(hw > 0.0, 1.0 / hw, 0.0)
+        hndc = clipped[..., :2] * hiw[..., None]
         hx = (hndc[..., 0] + 1.0) * (0.5 * W)
         hy = (1.0 - hndc[..., 1]) * (0.5 * H)
         hxn = jnp.roll(hx, -1, axis=-1)
@@ -529,7 +564,7 @@ def make_prepare(spec: FrameSpec):
         hc = jnp.where(degenerate, 1.0, hc)
         hull_lines = jnp.stack(
             [ha, hb, hc, jnp.zeros_like(ha)], axis=-1
-        )  # (C, Hm, 4)
+        )  # (C, H2, 4)
 
         hx_min = jnp.min(hx, axis=-1)
         hx_max = jnp.max(hx, axis=-1)
@@ -543,7 +578,7 @@ def make_prepare(spec: FrameSpec):
         )
         h_reject = jnp.zeros((C, nty, ntx), bool)
         h_accept = jnp.ones((C, nty, ntx), bool)
-        for h_index in range(Hm):
+        for h_index in range(H2):
             a = ha[:, h_index][:, None, None]
             b = hb[:, h_index][:, None, None]
             c = hc[:, h_index][:, None, None]
@@ -694,7 +729,8 @@ def _dash_mask(desc_f_row, desc_i_row, tex_x, tex_y):
 
 def make_rasterize(spec: FrameSpec):
     C = spec.n_commands
-    Hm = spec.h_max
+    # Hull lines after near-plane clipping (prepare) have h_max+2 rows.
+    Hm = spec.h_max + 2
     W, H = spec.width, spec.height
     tw, th = spec.tile_w, spec.tile_h
     ntx, nty, n_tiles = spec.ntx, spec.nty, spec.n_tiles

@@ -246,6 +246,36 @@ class Path:
         self.rational_cubic_curve_segments: List[RationalCubicCurveSegment] = []
         self.segment_types: List[SegmentType] = []
 
+    def copy(self) -> "Path":
+        """Cheap deep copy (segments' arrays duplicated) — lets callers
+        cache prototype paths (e.g. glyph outlines) and transform the
+        copies per instance."""
+        return self._clone(lambda pts: pts.copy())
+
+    def copy_affine(self, scale: float, offset) -> "Path":
+        """Fused copy + uniform-scale + translate — the exact transform
+        text layout applies per glyph (reference text.rs:255-259), an
+        order of magnitude cheaper than `copy()` + `transform()` with a
+        motor.  Like `transform`, stroke options are carried unchanged
+        (stroke width is in post-transform units, path.rs:171-176)."""
+        offset = np.asarray(offset, dtype=np.float64)
+        return self._clone(lambda pts: pts * scale + offset)
+
+    def _clone(self, point_map) -> "Path":
+        out = Path.__new__(Path)
+        out.stroke_options = self.stroke_options
+        out.start = point_map(np.asarray(self.start, dtype=np.float64))
+        out.segment_types = list(self.segment_types)
+        for name in _SEGMENT_LISTS.values():
+            clones = []
+            for seg in getattr(self, name):
+                clone = object.__new__(type(seg))
+                clone.__dict__.update(seg.__dict__)
+                clone.control_points = point_map(seg.control_points)
+                clones.append(clone)
+            setattr(out, name, clones)
+        return out
+
     # -- push commands (reference path.rs:232-261) -------------------------
 
     def push_line(self, segment: LineSegment):

@@ -182,6 +182,18 @@ class Shape:
         dynamic_stroke_options: Sequence[DynamicStrokeOptions] = (),
         use_native: bool = True,
     ):
+        self._geometry_version = -1
+        self.update_paths(paths, dynamic_stroke_options, use_native)
+
+    def update_paths(
+        self,
+        paths: Sequence[Path],
+        dynamic_stroke_options: Sequence[DynamicStrokeOptions] = (),
+        use_native: bool = True,
+    ):
+        """Re-tessellate this Shape in place (the reference's Shape
+        recycling, renderer.rs:216-227): renderers notice via the
+        geometry version and re-upload only this shape's tables."""
         proto_hull: List = []
         stroke_builder = StrokeBuilder()
         fill_builder = FillBuilder()
@@ -224,6 +236,7 @@ class Shape:
         self.descriptors = ds.StrokeDescriptorTable.from_options(
             self.dynamic_stroke_options
         )
+        self._geometry_version += 1
 
     def set_dynamic_stroke_options(
         self, index: int, options: DynamicStrokeOptions
@@ -330,6 +343,17 @@ class Renderer:
 
     # ------------------------------------------------------------------
 
+    def resize(self, width: int, height: int):
+        """Change the framebuffer size (reference
+        resize_internal_buffers, renderer.rs:892-929).  Compiled frame
+        programs are per-resolution; scene uploads survive."""
+        if (int(width), int(height)) == (self.width, self.height):
+            return
+        self.width = int(width)
+        self.height = int(height)
+        self._executors.clear()
+        self._prepared_cache.clear()
+
     def _interpret_flag(self) -> bool:
         if self._interpret is None:
             self._interpret = jax.default_backend() == "cpu"
@@ -357,7 +381,7 @@ class Renderer:
         return shapes, shape_index
 
     def _scene_arrays(self, shapes) -> Tuple[tuple, _SceneArrays]:
-        key = tuple(id(s) for s in shapes)
+        key = tuple((id(s), s._geometry_version) for s in shapes)
         scene = self._scene_cache.get(key)
         if scene is None:
             scene = _SceneArrays(shapes)

@@ -211,6 +211,9 @@ def paths_of_text(
     _extent, _offset, lines = _calculate_aligned_positions(face, layout, text)
     scale = layout.size / face.height()
     result: List[Path] = []
+    # Outline cache: a glyph's paths are parsed once and copied per
+    # instance (repeated glyphs dominate real text).
+    outline_cache = {}
     for _line_range_end, glyph_positions in lines:
         for (x, y), glyph_id in glyph_positions[:-1]:
             if clipping_area is not None:
@@ -226,10 +229,13 @@ def paths_of_text(
                         ga2d.aabb_to_convex_polygon(aabb), clipping_area
                     ):
                         continue
-            motor = ga2d.translate2d([x * scale, y * scale])
-            for path in paths_of_glyph(face, glyph_id):
-                path.transform(scale, motor)
-                result.append(path)
+            protos = outline_cache.get(glyph_id)
+            if protos is None:
+                protos = paths_of_glyph(face, glyph_id)
+                outline_cache[glyph_id] = protos
+            offset = (x * scale, y * scale)
+            for proto in protos:
+                result.append(proto.copy_affine(scale, offset))
     return result
 
 

@@ -16,8 +16,6 @@ import argparse
 import logging
 import os
 import sys
-import time
-from collections import deque
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -26,8 +24,7 @@ import numpy as np  # noqa: E402
 from contrast_renderer_tpu.models import showcase  # noqa: E402
 from contrast_renderer_tpu.renderer import Configuration, Renderer  # noqa: E402
 from contrast_renderer_tpu.utils.png import write_png  # noqa: E402
-
-ROLLING_WINDOW = 64  # frames (application_framework.rs:251)
+from contrast_renderer_tpu.utils.profiling import FrameTimer  # noqa: E402
 
 
 def main():
@@ -52,22 +49,15 @@ def main():
     shape = showcase.build_shape(with_text=not args.no_text)
     commands = showcase.showcase_commands(shape, width, height)
 
-    times = deque(maxlen=ROLLING_WINDOW)
+    timer = FrameTimer(log=True)
     for index in range(args.frames):
-        start = time.perf_counter()
-        # Dash-phase animation (main.rs:155-161): only the descriptor
-        # table changes — geometry and binning are reused.
-        shape.set_dynamic_stroke_options(
-            0, showcase.dashed_options(index * 0.032)
-        )
-        image = renderer.render(commands)
-        elapsed = time.perf_counter() - start
-        times.append(elapsed)
-        rolling = sum(times) / len(times)
-        log.info(
-            "frame %d: %.1f µs (rolling average %.1f µs, %.1f FPS)",
-            index, elapsed * 1e6, rolling * 1e6, 1.0 / rolling,
-        )
+        with timer.frame():
+            # Dash-phase animation (main.rs:155-161): only the
+            # descriptor table changes — geometry and binning are reused.
+            shape.set_dynamic_stroke_options(
+                0, showcase.dashed_options(index * 0.032)
+            )
+            image = renderer.render(commands)
         if index == 0:
             log.info("scene stats: %s", renderer.stats)
         if index % args.save_every == 0:

@@ -170,6 +170,97 @@ class TestClipInsideOpacityGroup:
         assert np.allclose(image[2, 2], [0, 0, 1, 1], atol=1e-4)
 
 
+class TestShapeReuse:
+    def test_update_paths_rerenders_new_geometry(self):
+        # The reference recycles Shape buffers in place
+        # (renderer.rs:216-227); update_paths must invalidate the
+        # renderer's cached scene upload.
+        renderer = Renderer(Configuration(), SIZE, SIZE)
+        shape = Shape([Path.from_rect((16, 32), (8, 8))])
+        red = stencil_color(shape, ortho(), (1.0, 0.0, 0.0, 1.0))
+        image0 = renderer.render(red)
+        assert image0[32, 16, 3] > 0.9
+        assert image0[32, 48, 3] == 0.0
+        shape.update_paths([Path.from_rect((48, 32), (8, 8))])
+        image1 = renderer.render(red)
+        assert image1[32, 48, 3] > 0.9
+        assert image1[32, 16, 3] == 0.0
+
+
+class TestCopyAffine:
+    def test_matches_motor_transform(self):
+        from contrast_renderer_tpu.path import (
+            IntegralQuadraticCurveSegment, StrokeOptions)
+        from contrast_renderer_tpu.utils import ga2d
+
+        p = Path(start=(1.0, 2.0))
+        p.push_line(LineSegment([(5.0, 2.0)]))
+        p.push_integral_quadratic_curve(
+            IntegralQuadraticCurveSegment([(7.0, 4.0), (5.0, 6.0)])
+        )
+        p.stroke_options = StrokeOptions(width=2.0)
+        scale, offset = 3.0, (10.0, -4.0)
+        fast = p.copy_affine(scale, offset)
+        slow = p.copy()
+        slow.transform(scale, ga2d.translate2d(list(offset)))
+        assert np.allclose(fast.start, slow.start)
+        for a, b in zip(fast.iter_segments(), slow.iter_segments()):
+            assert np.allclose(a[1].control_points, b[1].control_points)
+        assert fast.stroke_options == slow.stroke_options
+        # The prototype is untouched.
+        assert np.allclose(p.start, (1.0, 2.0))
+        assert p.stroke_options.width == 2.0
+
+
+class TestResize:
+    def test_resize_renders_at_new_size(self):
+        renderer = Renderer(Configuration(), SIZE, SIZE)
+        shape = Shape([Path.from_circle((32, 32), 20)])
+        img0 = renderer.render(
+            stencil_color(shape, ortho(), (1, 0, 0, 1))
+        )
+        assert img0.shape == (SIZE, SIZE, 4)
+        renderer.resize(96, 96)
+        img1 = renderer.render(
+            stencil_color(shape, ortho(96), (1, 0, 0, 1))
+        )
+        assert img1.shape == (96, 96, 4)
+        # Circle center model (32, 32) → image row 96-32, col 32.
+        assert img1[96 - 32, 32, 3] > 0.9
+        assert img1[2, 2, 3] == 0.0
+
+
+class TestFrameTimer:
+    def test_rolling_average(self):
+        from contrast_renderer_tpu.utils.profiling import FrameTimer
+
+        timer = FrameTimer(window=4)
+        for _ in range(6):
+            with timer.frame():
+                pass
+        assert timer.frame_index == 6
+        assert timer.average_s >= 0.0
+        assert timer.fps > 0.0
+
+
+class TestNearPlaneHull:
+    def test_cover_survives_hull_vertex_behind_camera(self):
+        # One Shape containing a visible rect and a far rect whose clip
+        # w is negative under a perspective-like transform.  The convex
+        # hull then has vertices behind the camera; the cover must be
+        # near-plane clipped (GPU hardware behavior) instead of the
+        # whole command being disabled.
+        renderer = Renderer(Configuration(), SIZE, SIZE)
+        near = Path.from_rect((20, 32), (8, 8))
+        far = Path.from_rect((-600, 32), (8, 8))
+        shape = Shape([near, far])
+        t = ortho()
+        t[3, 0] = 0.004  # w = 1 + 0.004·x: negative at x = -600
+        commands = stencil_color(shape, t, (1.0, 0.0, 0.0, 1.0))
+        image = renderer.render(commands)
+        assert (image[..., 3] > 0.5).sum() > 30, "visible rect was dropped"
+
+
 def _cubic_region_paths():
     """Three integral cubics — serpentine, cusp, loop (the inflection
     classification cases of the reference, fill.rs:53-65) — each closed
