@@ -767,113 +767,174 @@ def make_rasterize(spec: FrameSpec):
         colorb[...] = jnp.zeros((4, S, th, tw), jnp.float32)
         layerb[...] = jnp.zeros((L, S, th, tw), jnp.float32)
 
+        # Strip subdivision (processing (8, tw) row strips with per-entry
+        # AABB skip tests) measured as a net loss on v5e — the scalar
+        # branches and shorter vector ops cost more than the skipped
+        # lanes save (4K showcase 69→56 FPS, strokes 53→31 FPS) — and
+        # Mosaic aborts on strip-sliced (1, h, w) state.  Whole-tile
+        # processing is the fast path; the strip machinery remains for
+        # future tuning.
+        n_strips = 1
+
         def process_row(rf, ri, clip_ok):
-            """One triangle row against the whole tile."""
-            e0 = rf[0] * px + rf[1] * py + rf[2]
-            e1 = rf[3] * px + rf[4] * py + rf[5]
-            e2 = rf[6] * px + rf[7] * py + rf[8]
+            """One triangle row against the tile, one (8, tw) row strip
+            at a time: a strip the triangle's pixel AABB misses is
+            skipped with two scalar compares — small triangles (glyph
+            curves, stroke quads) usually live in a single strip."""
             flags = ri[RI_FLAGS]
-            inside = (
-                ((e0 > 0.0) | ((e0 == 0.0) & ((flags & 1) != 0)))
-                & ((e1 > 0.0) | ((e1 == 0.0) & ((flags & 2) != 0)))
-                & ((e2 > 0.0) | ((e2 == 0.0) & ((flags & 4) != 0)))
-            )
             kind = ri[RI_KIND]
             contrib = ri[RI_CONTRIB]
             grp = ri[RI_GROUP]
+            ay0 = rf[RF_AABB + 1]
+            ay1 = rf[RF_AABB + 3]
 
-            def interp():
-                invA = rf[RF_INV_AREA]
-                l0 = e0 * invA
-                l1 = e1 * invA
-                l2 = e2 * invA
-                ch = [
-                    l0 * rf[RF_AW + c] + l1 * rf[RF_AW + 4 + c]
-                    + l2 * rf[RF_AW + 8 + c]
-                    for c in range(4)
-                ]
-                iw = l0 * rf[RF_IW] + l1 * rf[RF_IW + 1] + l2 * rf[RF_IW + 2]
-                return ch, iw
+            def strip_body(sl):
+                def rd(ref_like):
+                    return ref_like[:, sl]
 
-            @pl.when(kind == KIND_SOLID)
-            def _solid():
-                wind[...] = wind[...] + jnp.where(
-                    inside & clip_ok, contrib, 0
-                )
+                def wr(ref_like, value):
+                    ref_like[:, sl] = value
 
-            @pl.when(
-                (kind == KIND_INTEGRAL_QUADRATIC)
-                | (kind == KIND_RATIONAL_QUADRATIC)
-            )
-            def _quad():
-                ch, _ = interp()
-                keep = ch[0] * ch[0] - ch[1] * ch[2] <= 0.0
-                wind[...] = wind[...] + jnp.where(
-                    inside & keep & clip_ok, contrib, 0
+                pxs = rd(px)
+                pys = rd(py)
+                cok = rd(clip_ok)
+                e0 = rf[0] * pxs + rf[1] * pys + rf[2]
+                e1 = rf[3] * pxs + rf[4] * pys + rf[5]
+                e2 = rf[6] * pxs + rf[7] * pys + rf[8]
+                inside = (
+                    ((e0 > 0.0) | ((e0 == 0.0) & ((flags & 1) != 0)))
+                    & ((e1 > 0.0) | ((e1 == 0.0) & ((flags & 2) != 0)))
+                    & ((e2 > 0.0) | ((e2 == 0.0) & ((flags & 4) != 0)))
                 )
 
-            @pl.when(
-                (kind == KIND_INTEGRAL_CUBIC) | (kind == KIND_RATIONAL_CUBIC)
-            )
-            def _cubic():
-                ch, _ = interp()
-                keep = ch[0] * ch[0] * ch[0] - ch[1] * ch[2] * ch[3] <= 0.0
-                wind[...] = wind[...] + jnp.where(
-                    inside & keep & clip_ok, contrib, 0
-                )
+                def interp():
+                    invA = rf[RF_INV_AREA]
+                    l0 = e0 * invA
+                    l1 = e1 * invA
+                    l2 = e2 * invA
+                    ch = [
+                        l0 * rf[RF_AW + c] + l1 * rf[RF_AW + 4 + c]
+                        + l2 * rf[RF_AW + 8 + c]
+                        for c in range(4)
+                    ]
+                    iw = (
+                        l0 * rf[RF_IW] + l1 * rf[RF_IW + 1]
+                        + l2 * rf[RF_IW + 2]
+                    )
+                    return ch, iw
 
-            @pl.when(kind == KIND_STROKE_LINE)
-            def _line():
-                ch, iw = interp()
-                safe_iw = jnp.where(iw != 0.0, iw, 1.0)
-                tex_x = ch[0] / safe_iw
-                tex_y = ch[1] / safe_iw
-                dashed = desc_i[grp, 9] != 0
-                dash = _dash_mask(desc_f[grp, :], desc_i[grp, :], tex_x, tex_y)
-                end_cap = _cap_mask(
-                    desc_i[grp, 12], tex_x, tex_y - rf[RF_END_Y]
-                )
-                start_cap = _cap_mask(desc_i[grp, 11], tex_x, -tex_y)
-                end_flag = (flags & FLAG_END_CAP) != 0
-                solid = (end_flag & end_cap) | (
-                    ~end_flag & ((tex_y >= 0.0) | start_cap)
-                )
-                keep = (dashed & dash) | (~dashed & solid)
-                covered = inside & keep & clip_ok
-                wind[...] = jnp.where(
-                    covered & (wind[...] == 0), 1, wind[...]
-                )
+                @pl.when(kind == KIND_SOLID)
+                def _solid():
+                    wr(wind, rd(wind) + jnp.where(inside & cok, contrib, 0))
 
-            @pl.when(kind == KIND_STROKE_JOINT)
-            def _joint():
-                ch, iw = interp()
-                safe_iw = jnp.where(iw != 0.0, iw, 1.0)
-                tex_x = ch[0] / safe_iw
-                tex_y = ch[1] / safe_iw
-                tex_z = ch[2] / safe_iw
-                radius = jnp.sqrt(tex_x * tex_x + tex_y * tex_y)
-                join = desc_i[grp, 10]
-                is_tip = (flags & FLAG_JOINT_TIP) != 0
-                is_bevel = join == int(Join.BEVEL)
-                is_round = join == int(Join.ROUND)
-                # Boolean algebra (no i1-vector selects): miter keeps
-                # everything, bevel drops tip triangles, round keeps the
-                # half-width disc.
-                fill = (
-                    ((~is_bevel & ~is_round) & (radius >= 0.0))
-                    | ((is_bevel & ~is_tip) & (radius >= 0.0))
-                    | (is_round & (radius <= 0.5))
+                @pl.when(
+                    (kind == KIND_INTEGRAL_QUADRATIC)
+                    | (kind == KIND_RATIONAL_QUADRATIC)
                 )
-                dashed = desc_i[grp, 9] != 0
-                angle = _atan2(tex_y, tex_x) * jnp.float32(1.0 / TAU)
-                dash = _dash_mask(
-                    desc_f[grp, :], desc_i[grp, :], radius, tex_z + angle
+                def _quad():
+                    ch, _ = interp()
+                    keep = ch[0] * ch[0] - ch[1] * ch[2] <= 0.0
+                    wr(wind, rd(wind) + jnp.where(
+                        inside & keep & cok, contrib, 0
+                    ))
+
+                @pl.when(
+                    (kind == KIND_INTEGRAL_CUBIC)
+                    | (kind == KIND_RATIONAL_CUBIC)
                 )
-                keep = fill & (dash | jnp.logical_not(dashed))
-                covered = inside & keep & clip_ok
-                wind[...] = jnp.where(
-                    covered & (wind[...] == 0), 1, wind[...]
-                )
+                def _cubic():
+                    ch, _ = interp()
+                    keep = (
+                        ch[0] * ch[0] * ch[0] - ch[1] * ch[2] * ch[3] <= 0.0
+                    )
+                    wr(wind, rd(wind) + jnp.where(
+                        inside & keep & cok, contrib, 0
+                    ))
+
+                @pl.when(kind == KIND_STROKE_LINE)
+                def _line():
+                    ch, iw = interp()
+                    inv = 1.0 / jnp.where(iw != 0.0, iw, 1.0)
+                    tex_x = ch[0] * inv
+                    tex_y = ch[1] * inv
+                    dashed = desc_i[grp, 9] != 0
+
+                    def dash_keep():
+                        return _dash_mask(
+                            desc_f[grp, :], desc_i[grp, :], tex_x, tex_y
+                        ).astype(jnp.int32)
+
+                    def solid_keep():
+                        end_cap = _cap_mask(
+                            desc_i[grp, 12], tex_x, tex_y - rf[RF_END_Y]
+                        )
+                        start_cap = _cap_mask(
+                            desc_i[grp, 11], tex_x, -tex_y
+                        )
+                        end_flag = (flags & FLAG_END_CAP) != 0
+                        return (
+                            (end_flag & end_cap)
+                            | (~end_flag & ((tex_y >= 0.0) | start_cap))
+                        ).astype(jnp.int32)
+
+                    # Scalar branch: a group is either dashed or solid —
+                    # evaluate only that predicate (i32 through the
+                    # branch; Mosaic dislikes i1-vector results).
+                    keep = jax.lax.cond(dashed, dash_keep, solid_keep) != 0
+                    covered = inside & keep & cok
+                    current = rd(wind)
+                    wr(wind, jnp.where(covered & (current == 0), 1, current))
+
+                @pl.when(kind == KIND_STROKE_JOINT)
+                def _joint():
+                    ch, iw = interp()
+                    inv = 1.0 / jnp.where(iw != 0.0, iw, 1.0)
+                    tex_x = ch[0] * inv
+                    tex_y = ch[1] * inv
+                    tex_z = ch[2] * inv
+                    radius = jnp.sqrt(tex_x * tex_x + tex_y * tex_y)
+                    join = desc_i[grp, 10]
+                    is_tip = (flags & FLAG_JOINT_TIP) != 0
+                    is_bevel = join == int(Join.BEVEL)
+                    is_round = join == int(Join.ROUND)
+                    # Boolean algebra (no i1-vector selects): miter keeps
+                    # everything, bevel drops tip triangles, round keeps
+                    # the half-width disc.
+                    fill = (
+                        ((~is_bevel & ~is_round) & (radius >= 0.0))
+                        | ((is_bevel & ~is_tip) & (radius >= 0.0))
+                        | (is_round & (radius <= 0.5))
+                    )
+                    dashed = desc_i[grp, 9] != 0
+
+                    def dash_keep():
+                        angle = _atan2(tex_y, tex_x) * jnp.float32(
+                            1.0 / TAU
+                        )
+                        return _dash_mask(
+                            desc_f[grp, :], desc_i[grp, :], radius,
+                            tex_z + angle,
+                        ).astype(jnp.int32)
+
+                    def no_dash():
+                        return jnp.ones(pxs.shape, jnp.int32)
+
+                    keep = fill & (
+                        jax.lax.cond(dashed, dash_keep, no_dash) != 0
+                    )
+                    covered = inside & keep & cok
+                    current = rd(wind)
+                    wr(wind, jnp.where(covered & (current == 0), 1, current))
+
+            if n_strips == 1:
+                strip_body(slice(0, th))
+            else:
+                for s in range(n_strips):
+                    strip_lo = tile_y0 + (s * 8)
+
+                    @pl.when((ay0 <= strip_lo + 8.0) & (ay1 >= strip_lo))
+                    def _strip(s=s):
+                        strip_body(slice(s * 8, s * 8 + 8))
 
         def cmd_body(k, carry):
             c = aclist[0, 0, k]

@@ -1,12 +1,14 @@
-"""Band-sharded rendering across a device mesh.
+"""Sharded rendering across a device mesh.
 
 Rendering is embarrassingly parallel over pixels once the geometry is
 known, so the multi-chip strategy is: replicate the (small) geometry
-tables to every device, shard the output image's rows, and give each
-device a *band-adjusted projection*: rendering band b of n at local
-height H/n equals rendering the full frame with NDC y remapped by
-``y' = n·y + (1 - n + 2b)`` — a row operation on the clip-space matrix,
-so the per-band executor is the unmodified single-device frame program.
+tables to every device, shard the output image over a 1D (row bands) or
+2D (row × column tiles) mesh, and give each device a *sub-rect-adjusted
+projection*: rendering rect (by, bx) of an (ny, nx) grid at local size
+(H/ny, W/nx) equals rendering the full frame with NDC remapped by
+``x' = nx·x + (nx−1−2bx)·w`` and ``y' = ny·y + (1−ny+2by)·w`` — row
+operations on the clip-space matrix, so the per-device executor is the
+unmodified single-device frame program (prepare + Pallas kernel).
 
 The only cross-device data movement is the sharded output layout (ICI
 all-gather if the host requests the full image).
@@ -22,8 +24,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def band_adjusted_transform(transform, band, num_bands):
-    """Remap a model→clip matrix so the full frame's band `band` fills
-    the whole viewport of a 1/num_bands-height render."""
+    """Remap a model→clip matrix so the full frame's row band `band`
+    fills the whole viewport of a 1/num_bands-height render."""
     transform = jnp.asarray(transform, jnp.float32)
     n = jnp.float32(num_bands)
     offset = 1.0 - n + 2.0 * jnp.asarray(band, jnp.float32)
@@ -31,45 +33,59 @@ def band_adjusted_transform(transform, band, num_bands):
     return transform.at[..., 1, :].set(row_y)
 
 
-def render_sharded(renderer, commands, mesh: Mesh, axis: str = "y"):
-    """Render a frame with rows sharded over `mesh`'s `axis`.
+def rect_adjusted_transform(transform, by, ny, bx, nx):
+    """Remap a model→clip matrix so grid rect (by, bx) of an (ny, nx)
+    split fills the whole viewport of a (H/ny, W/nx) render."""
+    transform = band_adjusted_transform(transform, by, ny)
+    fx = jnp.float32(nx)
+    offset = fx - 1.0 - 2.0 * jnp.asarray(bx, jnp.float32)
+    row_x = fx * transform[..., 0, :] + offset * transform[..., 3, :]
+    return transform.at[..., 0, :].set(row_x)
 
-    `renderer` is a `Renderer` sized to the FULL frame; its height must
-    be divisible by the mesh axis size.  Returns the full (H, W, 4)
-    image (gathered to host).
-    """
+
+def _sub_renderer(renderer, width, height, platform):
     from ..renderer import Renderer
 
-    num_bands = mesh.shape[axis]
-    assert renderer.height % num_bands == 0, "height must divide the mesh axis"
-    band_height = renderer.height // num_bands
-    platform = mesh.devices.reshape(-1)[0].platform
-    band_renderer = Renderer(
+    return Renderer(
         renderer.config,
-        renderer.width,
-        band_height,
-        tile_size=min(renderer.tile_h, band_height),
+        width,
+        height,
+        tile_size=min(renderer.tile_h, height),
         tile_capacity=renderer.tile_capacity,
         interpret=(platform == "cpu"),
     )
 
-    # Pack the scene once; each band runs the full prepare+raster
-    # pipeline on a band-adjusted projection (geometry replicated over
-    # the mesh, output rows sharded — the only collective is the
-    # gather of disjoint bands).
-    band_renderer._validate(commands)
-    shapes, shape_index = band_renderer._unique_shapes(commands)
-    _, scene = band_renderer._scene_arrays(shapes)
+
+def _packed_pipeline(sub, commands):
+    from ..renderer import Renderer
+
+    sub._validate(commands)
+    shapes, shape_index = sub._unique_shapes(commands)
+    _, scene = sub._scene_arrays(shapes)
     ops = tuple(int(c.operation) for c in commands)
     cmd_shape = tuple(shape_index[id(c.shape)] for c in commands)
-    spec = band_renderer._spec(ops, cmd_shape, scene)
-    prepare, rasterize = band_renderer._get_executors(spec)
+    spec = sub._spec(ops, cmd_shape, scene)
+    prepare, rasterize = sub._get_executors(spec)
     cmd_i, cmd_f = Renderer._pack_commands_runtime(commands)
     desc_f, desc_i = Renderer._pack_descriptors(shapes)
     transform = np.stack(
         [np.asarray(c.transform, np.float32) for c in commands]
     )
-    scene_arrays = scene.arrays
+    return scene.arrays, prepare, rasterize, cmd_i, cmd_f, desc_f, desc_i, transform
+
+
+def render_sharded(renderer, commands, mesh: Mesh, axis: str = "y"):
+    """Render a frame with rows sharded over `mesh`'s `axis`
+    (1D row bands).  `renderer` is sized to the FULL frame; its height
+    must be divisible by the mesh axis size.  Returns the full
+    (H, W, 4) image (gathered to host)."""
+    num_bands = mesh.shape[axis]
+    assert renderer.height % num_bands == 0, "height must divide the mesh axis"
+    band_height = renderer.height // num_bands
+    platform = mesh.devices.reshape(-1)[0].platform
+    sub = _sub_renderer(renderer, renderer.width, band_height, platform)
+    (scene_arrays, prepare, rasterize, cmd_i, cmd_f, desc_f, desc_i,
+     transform) = _packed_pipeline(sub, commands)
 
     def per_band(band_index, transforms):
         adjusted = band_adjusted_transform(
@@ -87,4 +103,42 @@ def render_sharded(renderer, commands, mesh: Mesh, axis: str = "y"):
         check_vma=False,
     )
     image = mapped(bands, jnp.asarray(transform))
+    return np.asarray(image)
+
+
+def render_sharded_2d(
+    renderer, commands, mesh: Mesh, axes: tuple = ("y", "x")
+):
+    """Render a frame sharded over a 2D device mesh: rows over
+    ``axes[0]``, columns over ``axes[1]`` — the tile-grid layout that
+    keeps every collective on ICI neighbors.  Returns the full
+    (H, W, 4) image."""
+    ay, ax = axes
+    ny = mesh.shape[ay]
+    nx = mesh.shape[ax]
+    assert renderer.height % ny == 0 and renderer.width % nx == 0
+    sub_h = renderer.height // ny
+    sub_w = renderer.width // nx
+    platform = mesh.devices.reshape(-1)[0].platform
+    sub = _sub_renderer(renderer, sub_w, sub_h, platform)
+    (scene_arrays, prepare, rasterize, cmd_i, cmd_f, desc_f, desc_i,
+     transform) = _packed_pipeline(sub, commands)
+
+    def per_rect(by, bx, transforms):
+        adjusted = rect_adjusted_transform(
+            transforms, by[0], ny, bx[0], nx
+        )
+        prepared = prepare(*scene_arrays, adjusted)
+        return rasterize(prepared, cmd_i, cmd_f, desc_f, desc_i)
+
+    bys = jnp.arange(ny, dtype=jnp.int32)
+    bxs = jnp.arange(nx, dtype=jnp.int32)
+    mapped = jax.shard_map(
+        per_rect,
+        mesh=mesh,
+        in_specs=(P(ay), P(ax), None),
+        out_specs=P(ay, ax, None),
+        check_vma=False,
+    )
+    image = mapped(bys, bxs, jnp.asarray(transform))
     return np.asarray(image)

@@ -70,3 +70,25 @@ class TestMultiChip:
         assert sharded.shape == single.shape
         mismatch = np.mean(np.abs(sharded - single))
         assert mismatch < 1e-4, mismatch
+
+    def test_tile_grid_2d_sharded_matches_single(self, shape):
+        import jax
+        from jax.sharding import Mesh
+
+        from contrast_renderer_tpu.parallel import render_sharded_2d
+
+        cpu_devices = jax.devices("cpu")
+        assert len(cpu_devices) >= 4, "need 4 virtual CPU devices"
+        mesh = Mesh(np.array(cpu_devices[:4]).reshape(2, 2), ("y", "x"))
+        width, height = 256, 64
+        commands = showcase.showcase_commands(shape, width, height)[:4]
+        renderer = Renderer(Configuration(), width, height, tile_size=16)
+        sharded = render_sharded_2d(renderer, commands, mesh)
+        with jax.default_device(cpu_devices[0]):
+            single_renderer = Renderer(
+                Configuration(), width, height, tile_size=16, interpret=True
+            )
+            single = single_renderer.render(commands)
+        assert sharded.shape == single.shape
+        mismatch = np.mean(np.abs(sharded - single))
+        assert mismatch < 1e-4, mismatch
