@@ -47,7 +47,6 @@ sensitive and bf16-grade matmul precision visibly corrupts them.
 
 from __future__ import annotations
 
-import functools
 import math
 from dataclasses import dataclass
 from typing import NamedTuple
@@ -122,9 +121,20 @@ RI_KIND = 0
 RI_CONTRIB = 1
 RI_GROUP = 2
 RI_FLAGS = 3       # bits 0..2 top-left edge rule, 3 end-cap, 4 joint tip
-RI_FILL = 4        # 1 for fill kinds (ordering key), 0 for strokes
+RI_FILL = 4        # 1 for fill kinds, 0 for strokes
 RI_CMD = 5         # originating command index
+RI_CLASS = 6       # processing class: 0 line, 1 joint, 2 solid, 3 quad, 4 cubic
 D_I = 8
+
+#: Entries are range-sorted per (tile, command, class) so the kernel
+#: runs a specialized, branch-free body per class; stroke classes (0, 1)
+#: sort before fill classes, preserving the reference's draw order.
+N_CLASSES = 5
+#: Fill batch width: fill entries are processed NB at a time with the
+#: per-triangle coefficients broadcast as (NB, 1, 1) vectors.  NB=2
+#: measured best on v5e: showcase ranges are short (1-2 entries per
+#: (tile, command, class)), so wider batches waste masked lanes.
+NB = 2
 
 FLAG_END_CAP = 8
 FLAG_JOINT_TIP = 16
@@ -189,11 +199,11 @@ class PreparedFrame(NamedTuple):
 
     tri_f: jnp.ndarray    # (n_tiles, K, D_F)
     tri_i: jnp.ndarray    # (n_tiles, K, D_I)
-    off: jnp.ndarray      # (n_tiles, 1, 2C+1) per-(cmd, stroke/fill) ranges
+    off: jnp.ndarray      # (n_tiles, 1, 5C+1) per-(cmd, class) entry ranges
     g_rows_f: jnp.ndarray  # (G, D_F)
     g_rows_i: jnp.ndarray  # (G, D_I)
     glist: jnp.ndarray    # (n_tiles, 1, Kg) indices into g_rows
-    g_off: jnp.ndarray    # (n_tiles, 1, 2C+1)
+    g_off: jnp.ndarray    # (n_tiles, 1, 5C+1)
     bulk: jnp.ndarray     # (n_tiles, 1, C) trivially-accepted solid winding
     cls: jnp.ndarray      # (n_tiles, 1, C) cover class 0/1/2
     aclist: jnp.ndarray   # (n_tiles, 1, C) active command indices
@@ -221,7 +231,12 @@ def make_prepare(spec: FrameSpec):
     ops = np.asarray(spec.ops, np.int32)
     cmd_shape = np.asarray(spec.cmd_shape, np.int32)
     stencil_sel = np.nonzero(ops == OP_STENCIL)[0].astype(np.int32)
-    cover_sel = np.nonzero(ops != OP_STENCIL)[0].astype(np.int32)
+    # Zero-size operands crash the TPU compiler; a cover-only frame
+    # binds command 0 as a dummy stencil selection instead.  Its binned
+    # ranges are harmless: the kernel only reads stencil ranges under
+    # op == STENCIL, which command 0 is not in such a frame.
+    if len(stencil_sel) == 0:
+        stencil_sel = np.zeros(1, np.int32)
     Cs = len(stencil_sel)
     T = spec.t_max
     Hm = spec.h_max
@@ -333,6 +348,19 @@ def make_prepare(spec: FrameSpec):
             axis=-1,
         ).reshape(Cs * T, D_F) if Cs else jnp.zeros((n_rows, D_F), f32)
         cmd_of = jnp.repeat(sidx, T) if Cs else jnp.zeros(n_rows, i32)
+        clsk = jnp.where(
+            skind == KIND_STROKE_LINE, 0,
+            jnp.where(
+                skind == KIND_STROKE_JOINT, 1,
+                jnp.where(
+                    skind == KIND_SOLID, 2,
+                    jnp.where(
+                        (skind == KIND_INTEGRAL_QUADRATIC)
+                        | (skind == KIND_RATIONAL_QUADRATIC), 3, 4,
+                    ),
+                ),
+            ),
+        )
         rows_i = jnp.stack(
             [
                 skind.reshape(-1),
@@ -341,7 +369,7 @@ def make_prepare(spec: FrameSpec):
                 flags.reshape(-1),
                 is_fill.reshape(-1).astype(i32),
                 cmd_of,
-                jnp.zeros(Cs * T, i32),
+                clsk.reshape(-1),
                 jnp.zeros(Cs * T, i32),
             ],
             axis=-1,
@@ -354,8 +382,8 @@ def make_prepare(spec: FrameSpec):
             if Cs else jnp.zeros(n_rows, bool)
         )
         contrib_flat = rows_i[:, RI_CONTRIB]
-        fill_flat = rows_i[:, RI_FILL]
-        key2_flat = cmd_of * 2 + fill_flat  # strokes sort before fills
+        class_flat = rows_i[:, RI_CLASS]
+        key2_flat = cmd_of * N_CLASSES + class_flat
 
         tx0 = jnp.clip(jnp.floor(aabb_flat[:, 0] / tw), 0, ntx - 1).astype(i32)
         ty0 = jnp.clip(jnp.floor(aabb_flat[:, 1] / th), 0, nty - 1).astype(i32)
@@ -398,28 +426,30 @@ def make_prepare(spec: FrameSpec):
             mode="drop",
         )
 
-        # Stable sort of local entries by (tile, cmd, stroke-before-fill).
-        key = (tile_of * C + cmd_of[:, None]) * 2 + fill_flat[:, None]
-        big = n_tiles * C * 2
+        # Stable sort of local entries by (tile, cmd, class) — stroke
+        # classes precede fill classes within each command.
+        key = (tile_of * C + cmd_of[:, None]) * N_CLASSES + class_flat[:, None]
+        big = n_tiles * C * N_CLASSES
         key = jnp.where(entry, key, big).reshape(-1)
         payload = jnp.broadcast_to(
             jnp.arange(n_rows, dtype=i32)[:, None], (n_rows, M)
         ).reshape(-1)
         skey, srow = jax.lax.sort((key, payload), num_keys=1, is_stable=True)
 
-        counts2 = jnp.zeros(n_tiles * 2 * C, i32).at[
+        counts2 = jnp.zeros(n_tiles * N_CLASSES * C, i32).at[
             jnp.where(key < big, key, 0)
-        ].add(jnp.where(key < big, 1, 0)).reshape(n_tiles, 2 * C)
+        ].add(jnp.where(key < big, 1, 0)).reshape(n_tiles, N_CLASSES * C)
         off = jnp.concatenate(
             [jnp.zeros((n_tiles, 1), i32), jnp.cumsum(counts2, axis=1)],
             axis=1,
         )
         tile_count = off[:, -1]
         tile_begin = jnp.searchsorted(
-            skey, jnp.arange(n_tiles, dtype=i32) * (2 * C), side="left"
+            skey, jnp.arange(n_tiles, dtype=i32) * (N_CLASSES * C),
+            side="left",
         ).astype(i32)
 
-        kk = jnp.arange(K, dtype=i32)
+        kk = jnp.arange(K + NB, dtype=i32)
         gidx = jnp.clip(tile_begin[:, None] + kk[None, :], 0, skey.shape[0] - 1)
         slot_valid = kk[None, :] < jnp.minimum(tile_count, K)[:, None]
         row_ids = jnp.where(slot_valid, srow[gidx], 0)
@@ -430,7 +460,7 @@ def make_prepare(spec: FrameSpec):
         off = jnp.minimum(off, K)
 
         # ---- globals (big triangles) via small dense matrix -----------
-        gkey = jnp.where(is_global, key2_flat, Cs * 2 * T + C * 2)
+        gkey = jnp.where(is_global, key2_flat, C * N_CLASSES + 1)
         gskey, gsrow = jax.lax.sort((gkey, jnp.arange(n_rows, dtype=i32)),
                                     num_keys=1, is_stable=True)
         g_total = jnp.sum(is_global.astype(i32))
@@ -481,7 +511,7 @@ def make_prepare(spec: FrameSpec):
         )
 
         g_rank = jnp.cumsum(g_entry.astype(i32), axis=1) - 1
-        glist = jnp.zeros((n_tiles, Kg), i32).at[
+        glist = jnp.zeros((n_tiles, Kg + NB), i32).at[
             tiles_idx.reshape(-1),
             jnp.where(g_entry, g_rank, Kg).reshape(-1),
         ].set(
@@ -490,10 +520,12 @@ def make_prepare(spec: FrameSpec):
             ).reshape(-1),
             mode="drop",
         )
-        g_key2 = g_cmd * 2 + g_rows_i[:, RI_FILL]
-        g_counts2 = jnp.zeros((n_tiles * 2 * C,), i32).at[
-            (tiles_idx * 2 * C + g_key2[None, :]).reshape(-1)
-        ].add(g_entry.astype(i32).reshape(-1)).reshape(n_tiles, 2 * C)
+        g_key2 = g_cmd * N_CLASSES + g_rows_i[:, RI_CLASS]
+        g_counts2 = jnp.zeros((n_tiles * N_CLASSES * C,), i32).at[
+            (tiles_idx * N_CLASSES * C + g_key2[None, :]).reshape(-1)
+        ].add(g_entry.astype(i32).reshape(-1)).reshape(
+            n_tiles, N_CLASSES * C
+        )
         g_off = jnp.concatenate(
             [jnp.zeros((n_tiles, 1), i32), jnp.cumsum(g_counts2, axis=1)],
             axis=1,
@@ -597,12 +629,12 @@ def make_prepare(spec: FrameSpec):
         cls = cls.transpose(1, 2, 0).reshape(n_tiles, C)
 
         # ---- active command list ---------------------------------------
-        # count for cmd c = off[:, 2c+2] - off[:, 2c]
-        start = off[:, 0:2 * C:2]
-        end = off[:, 2:2 * C + 2:2]
+        # count for cmd c = off[:, 5c+5] - off[:, 5c]
+        start = off[:, 0:N_CLASSES * C:N_CLASSES]
+        end = off[:, N_CLASSES:N_CLASSES * C + 1:N_CLASSES]
         local_any = (end - start) > 0
-        g_start = g_off[:, 0:2 * C:2]
-        g_end = g_off[:, 2:2 * C + 2:2]
+        g_start = g_off[:, 0:N_CLASSES * C:N_CLASSES]
+        g_end = g_off[:, N_CLASSES:N_CLASSES * C + 1:N_CLASSES]
         global_any = (g_end - g_start) > 0
         active = local_any | global_any | (bulk != 0) | (cls > 0)
         a_rank = jnp.cumsum(active.astype(i32), axis=1) - 1
@@ -761,6 +793,11 @@ def make_rasterize(spec: FrameSpec):
         # would be rejected by pallas_call).
         px = jnp.stack([tile_x0 + col + float(ox) for ox, _ in offsets])
         py = jnp.stack([tile_y0 + row + float(oy) for _, oy in offsets])
+        # Pixel centers: the batched fill path evaluates all linear
+        # functions once at centers and reaches each MSAA sample by a
+        # scalar threshold shift (linear in screen space).
+        pxc = tile_x0 + col + 0.5
+        pyc = tile_y0 + row + 0.5
 
         wind[...] = jnp.zeros((S, th, tw), jnp.int32)
         clipb[...] = jnp.zeros((S, th, tw), jnp.int32)
@@ -936,6 +973,88 @@ def make_rasterize(spec: FrameSpec):
                     def _strip(s=s):
                         strip_body(slice(s * 8, s * 8 + 8))
 
+        def process_fill_batch(rf4, ri4, j0, hi, class_code, clip_ok):
+            """NB fill triangles at once.  All per-triangle quantities
+            are (NB, 1, 1) vectors instead of scalar extracts; the
+            linear edge and Loop-Blinn weight functions are evaluated
+            once at pixel centers (NB, th, tw) and shifted to each MSAA
+            sample by per-triangle scalars (they are linear in screen
+            space); the batch's winding deltas sum before the single
+            per-sample state update."""
+
+            def cf(idx):
+                return rf4[:, idx:idx + 1][:, :, None]
+
+            def ci(idx):
+                return ri4[:, idx:idx + 1][:, :, None]
+
+            a0, b0, c0 = cf(0), cf(1), cf(2)
+            a1, b1, c1 = cf(3), cf(4), cf(5)
+            a2, b2, c2 = cf(6), cf(7), cf(8)
+            flags4 = ci(RI_FLAGS)
+            batch_ok = (
+                j0 + jax.lax.broadcasted_iota(jnp.int32, (NB, 1, 1), 0)
+            ) < hi
+            contrib4 = jnp.where(batch_ok, ci(RI_CONTRIB), 0)
+            e0 = a0 * pxc + b0 * pyc + c0     # (NB, th, tw)
+            e1 = a1 * pxc + b1 * pyc + c1
+            e2 = a2 * pxc + b2 * pyc + c2
+            tl0 = (flags4 & 1) != 0
+            tl1 = (flags4 & 2) != 0
+            tl2 = (flags4 & 4) != 0
+
+            n_ch = {2: 0, 3: 3, 4: 4}[class_code]
+            if n_ch:
+                inv_area = cf(RF_INV_AREA)
+                l0 = e0 * inv_area
+                l1 = e1 * inv_area
+                l2 = e2 * inv_area
+                aw = [
+                    [cf(RF_AW + 4 * k + cch) for k in range(3)]
+                    for cch in range(n_ch)
+                ]
+                ch_c = [
+                    l0 * aw[cch][0] + l1 * aw[cch][1] + l2 * aw[cch][2]
+                    for cch in range(n_ch)
+                ]
+                gx = [
+                    inv_area
+                    * (a0 * aw[cch][0] + a1 * aw[cch][1] + a2 * aw[cch][2])
+                    for cch in range(n_ch)
+                ]
+                gy = [
+                    inv_area
+                    * (b0 * aw[cch][0] + b1 * aw[cch][1] + b2 * aw[cch][2])
+                    for cch in range(n_ch)
+                ]
+
+            for s in range(S):
+                dx = float(offsets[s, 0]) - 0.5
+                dy = float(offsets[s, 1]) - 0.5
+                nt0 = -(a0 * dx + b0 * dy)
+                nt1 = -(a1 * dx + b1 * dy)
+                nt2 = -(a2 * dx + b2 * dy)
+                keep = (
+                    ((e0 > nt0) | ((e0 == nt0) & tl0))
+                    & ((e1 > nt1) | ((e1 == nt1) & tl1))
+                    & ((e2 > nt2) | ((e2 == nt2) & tl2))
+                )
+                if class_code == 3:
+                    xs = ch_c[0] + (gx[0] * dx + gy[0] * dy)
+                    ys = ch_c[1] + (gx[1] * dx + gy[1] * dy)
+                    zs = ch_c[2] + (gx[2] * dx + gy[2] * dy)
+                    keep = keep & (xs * xs - ys * zs <= 0.0)
+                elif class_code == 4:
+                    xs = ch_c[0] + (gx[0] * dx + gy[0] * dy)
+                    ys = ch_c[1] + (gx[1] * dx + gy[1] * dy)
+                    zs = ch_c[2] + (gx[2] * dx + gy[2] * dy)
+                    ws = ch_c[3] + (gx[3] * dx + gy[3] * dy)
+                    keep = keep & (xs * xs * xs - ys * zs * ws <= 0.0)
+                delta = jnp.sum(
+                    jnp.where(keep, contrib4, 0), axis=0
+                )  # (th, tw)
+                wind[s] = wind[s] + jnp.where(clip_ok[s], delta, 0)
+
         def cmd_body(k, carry):
             c = aclist[0, 0, k]
             op = cmd_i[c, 0]
@@ -945,28 +1064,71 @@ def make_rasterize(spec: FrameSpec):
 
             @pl.when(op == OP_STENCIL)
             def _stencil():
-                def local_body(j, inner):
+                base = N_CLASSES * c
+
+                def local_stroke(j, inner):
                     process_row(tri_f[0, j, :], tri_i[0, j, :], clip_ok)
                     return inner
 
-                def global_body(j, inner):
+                def global_stroke(j, inner):
                     g = glist[0, 0, j]
                     process_row(g_rows_f[g, :], g_rows_i[g, :], clip_ok)
                     return inner
 
-                jax.lax.fori_loop(
-                    off[0, 0, 2 * c], off[0, 0, 2 * c + 1], local_body, 0
-                )
-                jax.lax.fori_loop(
-                    g_off[0, 0, 2 * c], g_off[0, 0, 2 * c + 1], global_body, 0
-                )
-                jax.lax.fori_loop(
-                    off[0, 0, 2 * c + 1], off[0, 0, 2 * c + 2], local_body, 0
-                )
-                jax.lax.fori_loop(
-                    g_off[0, 0, 2 * c + 1], g_off[0, 0, 2 * c + 2],
-                    global_body, 0,
-                )
+                # Stroke classes (0: lines, 1: joints) — per entry, with
+                # the dash/solid predicates; they run before fills,
+                # matching the reference's draw order.
+                for cls_code in (0, 1):
+                    jax.lax.fori_loop(
+                        off[0, 0, base + cls_code],
+                        off[0, 0, base + cls_code + 1],
+                        local_stroke, 0,
+                    )
+                    jax.lax.fori_loop(
+                        g_off[0, 0, base + cls_code],
+                        g_off[0, 0, base + cls_code + 1],
+                        global_stroke, 0,
+                    )
+
+                # Fill classes (2: solid, 3: quadratic, 4: cubic) — NB
+                # entries at a time with coefficients as (NB, 1, 1)
+                # vectors; winding adds commute within a command.
+                for cls_code in (2, 3, 4):
+                    lo = off[0, 0, base + cls_code]
+                    hi = off[0, 0, base + cls_code + 1]
+
+                    def local_batch(b_ix, inner, lo=lo, hi=hi,
+                                    cls_code=cls_code):
+                        j0 = lo + b_ix * NB
+                        process_fill_batch(
+                            tri_f[0, pl.ds(j0, NB), :],
+                            tri_i[0, pl.ds(j0, NB), :],
+                            j0, hi, cls_code, clip_ok,
+                        )
+                        return inner
+
+                    jax.lax.fori_loop(
+                        0, (hi - lo + NB - 1) // NB, local_batch, 0
+                    )
+
+                    glo = g_off[0, 0, base + cls_code]
+                    ghi = g_off[0, 0, base + cls_code + 1]
+
+                    def global_batch(b_ix, inner, glo=glo, ghi=ghi,
+                                     cls_code=cls_code):
+                        j0 = glo + b_ix * NB
+                        gidx = [glist[0, 0, j0 + k] for k in range(NB)]
+                        rf4 = jnp.stack([g_rows_f[g, :] for g in gidx])
+                        ri4 = jnp.stack([g_rows_i[g, :] for g in gidx])
+                        process_fill_batch(
+                            rf4, ri4, j0, ghi, cls_code, clip_ok
+                        )
+                        return inner
+
+                    jax.lax.fori_loop(
+                        0, (ghi - glo + NB - 1) // NB, global_batch, 0
+                    )
+
                 b = bulk[0, 0, c]
 
                 @pl.when(b != 0)
@@ -1087,19 +1249,19 @@ def make_rasterize(spec: FrameSpec):
                      memory_space=pltpu.SMEM),                       # acount
         pl.BlockSpec((1, 1, C), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),                       # aclist
-        pl.BlockSpec((1, 1, 2 * C + 1), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, 1, N_CLASSES * C + 1), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),                       # off
-        pl.BlockSpec((1, 1, 2 * C + 1), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, 1, N_CLASSES * C + 1), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),                       # g_off
         pl.BlockSpec((1, 1, C), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),                       # bulk
         pl.BlockSpec((1, 1, C), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),                       # cls
-        pl.BlockSpec((1, 1, Kg), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, 1, Kg + NB), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),                       # glist
-        pl.BlockSpec((1, K, D_F), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, K + NB, D_F), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),                       # tri_f
-        pl.BlockSpec((1, K, D_I), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, K + NB, D_I), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),                       # tri_i
         pl.BlockSpec(memory_space=pltpu.VMEM),                       # g_rows_f
         pl.BlockSpec(memory_space=pltpu.VMEM),                       # g_rows_i

@@ -170,6 +170,32 @@ class TestClipInsideOpacityGroup:
         assert np.allclose(image[2, 2], [0, 0, 1, 1], atol=1e-4)
 
 
+class TestDegenerateFrames:
+    def test_covers_only_frame(self):
+        # A frame with no stencil command must compile and render
+        # (nothing painted: no winding anywhere).
+        renderer = Renderer(Configuration(), SIZE, SIZE)
+        shape = Shape([Path.from_rect((32, 32), (20, 20))])
+        image = renderer.render(
+            [
+                DrawCommand(
+                    RenderOperation.COLOR, shape, ortho(),
+                    color=(1, 0, 0, 1),
+                )
+            ]
+        )
+        assert image.shape == (SIZE, SIZE, 4)
+        assert image.max() == 0.0
+
+    def test_empty_shape_renders(self):
+        renderer = Renderer(Configuration(), SIZE, SIZE)
+        shape = Shape([])
+        image = renderer.render(
+            stencil_color(shape, ortho(), (1, 0, 0, 1))
+        )
+        assert image.max() == 0.0
+
+
 class TestShapeReuse:
     def test_update_paths_rerenders_new_geometry(self):
         # The reference recycles Shape buffers in place
