@@ -39,16 +39,42 @@ def main():
         width, height = 256, 256
     with_text = on_accelerator or bool(os.environ.get("BENCH_TEXT"))
 
-    renderer = Renderer(Configuration(), width, height)
+    orbit = bool(os.environ.get("BENCH_ORBIT"))
+    # Interactive camera motion uses the deferred capacity check (one
+    # frame of latency on buffer growth instead of a sync per frame).
+    renderer = Renderer(
+        Configuration(), width, height, strict_capacity=not orbit
+    )
     shape = showcase.build_shape(with_text=with_text)
     if on_accelerator:
         commands = showcase.showcase_commands(shape, width, height)
     else:
         commands = showcase.showcase_commands(shape, width, height)[:4]
 
-    def frame(t):
-        shape.set_dynamic_stroke_options(0, showcase.dashed_options(t * 2.0))
-        return renderer.render(commands, to_host=False)
+    if orbit:
+        import math
+
+        # Orbiting camera: instance transforms change per frame, so the
+        # binning stage re-runs every frame (the showcase's mouse-orbit
+        # camera, examples/showcase/main.rs:255-274).
+        def frame(t):
+            angle = 0.05 * t
+            rotor = np.array(
+                [math.cos(angle / 2), 0.0, math.sin(angle / 2), 0.0]
+            )
+            cmds = showcase.showcase_commands(
+                shape, width, height, view_rotation=rotor
+            )
+            shape.set_dynamic_stroke_options(
+                0, showcase.dashed_options(t * 2.0)
+            )
+            return renderer.render(cmds, to_host=False)
+    else:
+        def frame(t):
+            shape.set_dynamic_stroke_options(
+                0, showcase.dashed_options(t * 2.0)
+            )
+            return renderer.render(commands, to_host=False)
 
     image = frame(0.0)  # compile
     image.block_until_ready()
@@ -69,7 +95,11 @@ def main():
     readback_ms = (time.perf_counter() - start) * 1e3
     assert np.isfinite(host).all()
 
-    label = f"showcase_fps_{width}x{height}" + ("" if with_text else "_notext")
+    label = (
+        f"showcase_fps_{width}x{height}"
+        + ("_orbit" if orbit else "")
+        + ("" if with_text else "_notext")
+    )
     print(
         json.dumps(
             {

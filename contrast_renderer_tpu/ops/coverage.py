@@ -238,6 +238,7 @@ def make_prepare(spec: FrameSpec):
     if len(stencil_sel) == 0:
         stencil_sel = np.zeros(1, np.int32)
     Cs = len(stencil_sel)
+    cover_sel = np.nonzero(ops != OP_STENCIL)[0].astype(np.int32)
     T = spec.t_max
     Hm = spec.h_max
     W, H = spec.width, spec.height
@@ -498,34 +499,41 @@ def make_prepare(spec: FrameSpec):
         )
         g_acc_flat = g_acc_mask.transpose(1, 2, 0).reshape(n_tiles, G)
 
+        # Million-element scatters are sort-based (slow) on TPU; the
+        # per-(tile, command) reductions over globals are one-hot
+        # matmuls on the (otherwise idle) MXU instead — values are
+        # small integers, exact in f32 accumulation.
         g_cmd = g_rows_i[:, RI_CMD]
-        tiles_idx = jnp.broadcast_to(
-            jnp.arange(n_tiles, dtype=i32)[:, None], (n_tiles, G)
-        )
-        bulk = bulk.at[
-            tiles_idx.reshape(-1),
-            jnp.broadcast_to(g_cmd[None, :], (n_tiles, G)).reshape(-1),
-        ].add(
-            jnp.where(g_acc_flat, g_rows_i[None, :, RI_CONTRIB], 0).reshape(-1),
-            mode="drop",
-        )
+        cmd_one_hot = (
+            g_cmd[:, None] == jnp.arange(C, dtype=i32)[None, :]
+        ).astype(jnp.float32)
+        bulk = bulk + jnp.dot(
+            jnp.where(g_acc_flat, g_rows_i[None, :, RI_CONTRIB], 0).astype(
+                jnp.float32
+            ),
+            cmd_one_hot,
+            preferred_element_type=jnp.float32,
+        ).astype(i32)
 
-        g_rank = jnp.cumsum(g_entry.astype(i32), axis=1) - 1
-        glist = jnp.zeros((n_tiles, Kg + NB), i32).at[
-            tiles_idx.reshape(-1),
-            jnp.where(g_entry, g_rank, Kg).reshape(-1),
-        ].set(
-            jnp.broadcast_to(
-                jnp.arange(G, dtype=i32)[None, :], (n_tiles, G)
-            ).reshape(-1),
-            mode="drop",
+        # Per-tile global entry list, ordered by ascending g (already
+        # (cmd, class)-sorted): top_k over a descending key.
+        gl_key = jnp.where(
+            g_entry, G - jnp.arange(G, dtype=i32)[None, :], -1
+        )
+        _gl_vals, gl_idx = jax.lax.top_k(gl_key, Kg)
+        glist = jnp.concatenate(
+            [gl_idx.astype(i32), jnp.zeros((n_tiles, NB), i32)], axis=1
         )
         g_key2 = g_cmd * N_CLASSES + g_rows_i[:, RI_CLASS]
-        g_counts2 = jnp.zeros((n_tiles * N_CLASSES * C,), i32).at[
-            (tiles_idx * N_CLASSES * C + g_key2[None, :]).reshape(-1)
-        ].add(g_entry.astype(i32).reshape(-1)).reshape(
-            n_tiles, N_CLASSES * C
-        )
+        key2_one_hot = (
+            g_key2[:, None]
+            == jnp.arange(N_CLASSES * C, dtype=i32)[None, :]
+        ).astype(jnp.float32)
+        g_counts2 = jnp.dot(
+            g_entry.astype(jnp.float32),
+            key2_one_hot,
+            preferred_element_type=jnp.float32,
+        ).astype(i32)
         g_off = jnp.concatenate(
             [jnp.zeros((n_tiles, 1), i32), jnp.cumsum(g_counts2, axis=1)],
             axis=1,
@@ -534,12 +542,18 @@ def make_prepare(spec: FrameSpec):
         g_off = jnp.minimum(g_off, Kg)
 
         # ---- cover commands: near-plane clip + hull lines + class ------
-        hp = hull[jnp.asarray(cmd_shape)]        # (C, Hm, 2)
-        ones = jnp.ones((C, Hm, 1), f32)
+        # Computed for cover commands only (gather → scatter): stencil
+        # commands never read their hull rows.
+        cov_sel = cover_sel if len(cover_sel) else np.zeros(1, np.int32)
+        Cc = len(cov_sel)
+        cov_idx = jnp.asarray(cov_sel)
+        hp = hull[jnp.asarray(cmd_shape[cov_sel])]     # (Cc, Hm, 2)
+        ctf = transforms[cov_idx]                      # (Cc, 4, 4)
+        ones = jnp.ones((Cc, Hm, 1), f32)
         hclip = jnp.einsum(
             "chk,crk->chr",
-            jnp.concatenate([hp, jnp.zeros((C, Hm, 1), f32), ones], axis=-1),
-            transforms,
+            jnp.concatenate([hp, jnp.zeros((Cc, Hm, 1), f32), ones], axis=-1),
+            ctf,
             precision=jax.lax.Precision.HIGHEST,
         )
         # Sutherland–Hodgman clip of the convex hull against w > eps —
@@ -555,19 +569,19 @@ def make_prepare(spec: FrameSpec):
         denom = jnp.where(wb - wa != 0.0, wb - wa, 1.0)
         t_int = (eps - wa) / denom
         inter = hclip + t_int[..., None] * (b_vert - hclip)
-        out_v = jnp.stack([hclip, inter], axis=2).reshape(C, 2 * Hm, 4)
+        out_v = jnp.stack([hclip, inter], axis=2).reshape(Cc, 2 * Hm, 4)
         out_valid = jnp.stack(
             [in_a, in_a != (wb > eps)], axis=2
-        ).reshape(C, 2 * Hm)
+        ).reshape(Cc, 2 * Hm)
         h_rank = jnp.cumsum(out_valid.astype(i32), axis=1) - 1
-        h_count = jnp.sum(out_valid.astype(i32), axis=1)  # (C,)
+        h_count = jnp.sum(out_valid.astype(i32), axis=1)  # (Cc,)
         rows_c = jnp.broadcast_to(
-            jnp.arange(C, dtype=i32)[:, None], (C, 2 * Hm)
+            jnp.arange(Cc, dtype=i32)[:, None], (Cc, 2 * Hm)
         )
         slot = jnp.where(out_valid, jnp.minimum(h_rank, H2), H2)
-        clipped = jnp.zeros((C * (H2 + 1), 4), f32).at[
+        clipped = jnp.zeros((Cc * (H2 + 1), 4), f32).at[
             (rows_c * (H2 + 1) + slot).reshape(-1)
-        ].set(out_v.reshape(-1, 4), mode="drop").reshape(C, H2 + 1, 4)[
+        ].set(out_v.reshape(-1, 4), mode="drop").reshape(Cc, H2 + 1, 4)[
             :, :H2
         ]
         # Pad unused slots with the first clipped vertex so the padded
@@ -594,9 +608,9 @@ def make_prepare(spec: FrameSpec):
         ha = jnp.where(degenerate, 0.0, ha)
         hb = jnp.where(degenerate, 0.0, hb)
         hc = jnp.where(degenerate, 1.0, hc)
-        hull_lines = jnp.stack(
-            [ha, hb, hc, jnp.zeros_like(ha)], axis=-1
-        )  # (C, H2, 4)
+        hull_lines = jnp.zeros((C, H2, 4), f32).at[cov_idx].set(
+            jnp.stack([ha, hb, hc, jnp.zeros_like(ha)], axis=-1)
+        )
 
         hx_min = jnp.min(hx, axis=-1)
         hx_max = jnp.max(hx, axis=-1)
@@ -608,8 +622,8 @@ def make_prepare(spec: FrameSpec):
         hovy = (hy_min[:, None] <= tile_y0[None, :] + th) & (
             hy_max[:, None] >= tile_y0[None, :]
         )
-        h_reject = jnp.zeros((C, nty, ntx), bool)
-        h_accept = jnp.ones((C, nty, ntx), bool)
+        h_reject = jnp.zeros((Cc, nty, ntx), bool)
+        h_accept = jnp.ones((Cc, nty, ntx), bool)
         for h_index in range(H2):
             a = ha[:, h_index][:, None, None]
             b = hb[:, h_index][:, None, None]
@@ -620,13 +634,14 @@ def make_prepare(spec: FrameSpec):
             h_reject = h_reject | (hi < 0.0)
             h_accept = h_accept & (lo > 0.0)
         h_over = hovy[:, :, None] & hovx[:, None, :] & hvalid[:, None, None]
-        is_cover = jnp.asarray(ops != OP_STENCIL)
-        cls = jnp.where(
-            h_over & is_cover[:, None, None],
+        cls_cov = jnp.where(
+            h_over,
             jnp.where(h_accept, 2, jnp.where(h_reject, 0, 1)),
             0,
         ).astype(i32)
-        cls = cls.transpose(1, 2, 0).reshape(n_tiles, C)
+        cls = jnp.zeros((n_tiles, C), i32).at[:, cov_idx].set(
+            cls_cov.transpose(1, 2, 0).reshape(n_tiles, Cc)
+        )
 
         # ---- active command list ---------------------------------------
         # count for cmd c = off[:, 5c+5] - off[:, 5c]

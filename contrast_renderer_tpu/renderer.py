@@ -176,12 +176,17 @@ class Shape:
     quadratics) go through the native C++ tessellator when available.
     """
 
+    _uid_counter = iter(range(1, 1 << 62))
+
     def __init__(
         self,
         paths: Sequence[Path],
         dynamic_stroke_options: Sequence[DynamicStrokeOptions] = (),
         use_native: bool = True,
     ):
+        # Unique, never-recycled identity: id() can be reused after GC,
+        # which would alias a new Shape onto a stale scene-cache entry.
+        self._uid = next(Shape._uid_counter)
         self._geometry_version = -1
         self.update_paths(paths, dynamic_stroke_options, use_native)
 
@@ -324,6 +329,7 @@ class Renderer:
         tile_size: int = 32,
         tile_capacity: int = 256,
         interpret=None,
+        strict_capacity: bool = True,
     ):
         self.config = config
         self.width = int(width)
@@ -335,6 +341,14 @@ class Renderer:
         self._global_capacity = 1024
         self._tile_global_capacity = 128
         self._interpret = interpret
+        #: strict_capacity=True synchronizes on the binning overflow
+        #: counters whenever transforms change, guaranteeing no dropped
+        #: triangles.  False defers the check one frame (overlapped with
+        #: rendering): an animated scene that outgrows its buffers may
+        #: show one under-populated frame before capacities regrow —
+        #: the right trade for interactive camera motion.
+        self.strict_capacity = bool(strict_capacity)
+        self._pending_overflow = None
         self._executors = {}
         self._scene_cache = {}
         self._prepared_cache = {}
@@ -381,7 +395,7 @@ class Renderer:
         return shapes, shape_index
 
     def _scene_arrays(self, shapes) -> Tuple[tuple, _SceneArrays]:
-        key = tuple((id(s), s._geometry_version) for s in shapes)
+        key = tuple((s._uid, s._geometry_version) for s in shapes)
         scene = self._scene_cache.get(key)
         if scene is None:
             scene = _SceneArrays(shapes)
@@ -456,6 +470,19 @@ class Renderer:
         cmd_f[:, 0:4] = [c.color for c in commands]
         return cmd_i, cmd_f
 
+    def _grow_capacities(self, overflow, limits) -> bool:
+        grew = False
+        if overflow[0] > limits[0]:
+            self.tile_capacity = _next_pow2(int(overflow[0]))
+            grew = True
+        if overflow[1] > limits[1]:
+            self._global_capacity = _next_pow2(int(overflow[1]))
+            grew = True
+        if overflow[2] > limits[2]:
+            self._tile_global_capacity = _next_pow2(int(overflow[2]))
+            grew = True
+        return grew
+
     # ------------------------------------------------------------------
 
     def render(
@@ -477,6 +504,11 @@ class Renderer:
         it.
         """
         self._validate(commands)
+        if self._pending_overflow is not None:
+            overflow_arr, limits = self._pending_overflow
+            self._pending_overflow = None
+            if self._grow_capacities(np.asarray(overflow_arr), limits):
+                self._prepared_cache.clear()
         shapes, shape_index = self._unique_shapes(commands)
         scene_key, scene = self._scene_arrays(shapes)
         ops = tuple(int(c.operation) for c in commands)
@@ -493,29 +525,33 @@ class Renderer:
             prepared = self._prepared_cache.get(pkey)
             if prepared is None:
                 prepared = prepare(*scene.arrays, jnp.asarray(transforms))
-                overflow = np.asarray(prepared.overflow)
-                self.stats = {
-                    "commands": len(commands),
-                    "shapes": len(shapes),
-                    "triangles_per_shape": scene.t_max,
-                    "tiles": spec.n_tiles,
-                    "max_tile_entries": int(overflow[0]),
-                    "global_triangles": int(overflow[1]),
-                    "max_tile_globals": int(overflow[2]),
-                }
-                logger.debug("prepare: %s", self.stats)
-                grew = False
-                if overflow[0] > spec.capacity:
-                    self.tile_capacity = _next_pow2(int(overflow[0]))
-                    grew = True
-                if overflow[1] > spec.global_capacity:
-                    self._global_capacity = _next_pow2(int(overflow[1]))
-                    grew = True
-                if overflow[2] > spec.tile_global_capacity:
-                    self._tile_global_capacity = _next_pow2(int(overflow[2]))
-                    grew = True
-                if grew:
-                    continue
+                limits = (
+                    spec.capacity,
+                    spec.global_capacity,
+                    spec.tile_global_capacity,
+                )
+                if self.strict_capacity:
+                    overflow = np.asarray(prepared.overflow)
+                    self.stats = {
+                        "commands": len(commands),
+                        "shapes": len(shapes),
+                        "triangles_per_shape": scene.t_max,
+                        "tiles": spec.n_tiles,
+                        "max_tile_entries": int(overflow[0]),
+                        "global_triangles": int(overflow[1]),
+                        "max_tile_globals": int(overflow[2]),
+                    }
+                    logger.debug("prepare: %s", self.stats)
+                    if self._grow_capacities(overflow, limits):
+                        continue
+                else:
+                    # Deferred check: the counters transfer while this
+                    # frame renders and are inspected next frame.
+                    try:
+                        prepared.overflow.copy_to_host_async()
+                    except AttributeError:
+                        pass
+                    self._pending_overflow = (prepared.overflow, limits)
                 if len(self._prepared_cache) >= 8:
                     self._prepared_cache.pop(next(iter(self._prepared_cache)))
                 self._prepared_cache[pkey] = prepared

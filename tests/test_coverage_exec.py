@@ -55,6 +55,26 @@ class TestCapacityGrowth:
         assert image[1, 1, 3] == 0.0
 
 
+class TestDeferredCapacity:
+    def test_deferred_growth_converges_next_frame(self):
+        # strict_capacity=False defers the overflow check one frame:
+        # the first over-capacity frame may drop triangles, the next
+        # render grows the buffers and is correct.
+        renderer = Renderer(
+            Configuration(), SIZE, SIZE, tile_capacity=8,
+            strict_capacity=False,
+        )
+        shapes = [Shape([Path.from_circle((32, 32), 28 - i)]) for i in range(20)]
+        commands = []
+        for s in shapes:
+            commands += stencil_color(s, ortho(), (1.0, 0.0, 0.0, 1.0))
+        renderer.render(commands)          # may drop (capacity 8)
+        image = renderer.render(commands)  # grown by the deferred check
+        assert renderer.tile_capacity > 8
+        assert np.allclose(image[32, 32], [1, 0, 0, 1], atol=1e-5)
+        assert np.allclose(image[32, 32 - 26], [1, 0, 0, 1], atol=1e-5)
+
+
 class TestMsaaGenerality:
     @pytest.mark.parametrize("samples", [2, 8])
     def test_circle_coverage(self, samples):
