@@ -30,13 +30,6 @@ def _timed_frames(frame, n):
     return n / (time.perf_counter() - start)
 
 
-def ortho(size):
-    t = np.diag([2.0 / size, 2.0 / size, 1.0, 1.0]).astype(np.float32)
-    t[0, 3] = -1.0
-    t[1, 3] = -1.0
-    return t
-
-
 def ortho_wh(width, height):
     t = np.diag([2.0 / width, 2.0 / height, 1.0, 1.0]).astype(np.float32)
     t[0, 3] = -1.0
@@ -66,7 +59,7 @@ def config1():
     table = builder.build()
     rasterize = raster.make_fill_rasterizer(size, size)
     winding, _ = rasterize(
-        table.xy, table.aux, table.kind, table.meta, ortho(size)
+        table.xy, table.aux, table.kind, table.meta, ortho_wh(size, size)
     )
     got = np.asarray(winding)
     want = oracle.rasterize_fill_table(table, size, size)
@@ -92,8 +85,9 @@ def config2(frames):
         cx = rng.uniform(40, width - 40)
         cy = rng.uniform(40, height - 40)
         r = rng.uniform(8, 30)
-        pts = cx + rng.uniform(-r, r, (4, 2)) * [1, 1] + [0, 0]
-        pts[:, 1] = cy + rng.uniform(-r, r, 4)
+        pts = np.stack(
+            [cx + rng.uniform(-r, r, 4), cy + rng.uniform(-r, r, 4)], axis=1
+        )
         p = Path(start=(cx - r, cy))
         if i % 2 == 0:
             p.push_integral_quadratic_curve(

@@ -231,16 +231,6 @@ def interpolate_attributes(lam, aux_w):
     )
 
 
-def interpolate_scalar(lam, per_vertex):
-    """``lam`` (..., K, 3), ``per_vertex`` (K, 3) → (..., K); same
-    precision rationale as `interpolate_attributes`."""
-    return (
-        lam[..., 0] * per_vertex[..., 0]
-        + lam[..., 1] * per_vertex[..., 1]
-        + lam[..., 2] * per_vertex[..., 2]
-    )
-
-
 def _fill_predicates(kind, value):
     """Per-sample implicit predicates by kind (shaders.wgsl:233-266).
 

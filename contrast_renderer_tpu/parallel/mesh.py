@@ -74,6 +74,23 @@ def _packed_pipeline(sub, commands):
     return scene.arrays, prepare, rasterize, cmd_i, cmd_f, desc_f, desc_i, transform
 
 
+def _run_with_growth(sub, commands, run_once):
+    """Run a sharded frame, growing binning capacities on overflow (the
+    same contract as Renderer.render's retry loop)."""
+    for _attempt in range(4):
+        packed = _packed_pipeline(sub, commands)
+        image, overflow = run_once(*packed)
+        limits = (
+            sub.tile_capacity,
+            sub._global_capacity,
+            sub._tile_global_capacity,
+        )
+        worst = np.asarray(overflow).reshape(-1, 3).max(axis=0)
+        if not sub._grow_capacities(worst, limits):
+            return np.asarray(image)
+    raise RuntimeError("sharded tile binning capacity did not converge")
+
+
 def render_sharded(renderer, commands, mesh: Mesh, axis: str = "y"):
     """Render a frame with rows sharded over `mesh`'s `axis`
     (1D row bands).  `renderer` is sized to the FULL frame; its height
@@ -84,26 +101,28 @@ def render_sharded(renderer, commands, mesh: Mesh, axis: str = "y"):
     band_height = renderer.height // num_bands
     platform = mesh.devices.reshape(-1)[0].platform
     sub = _sub_renderer(renderer, renderer.width, band_height, platform)
-    (scene_arrays, prepare, rasterize, cmd_i, cmd_f, desc_f, desc_i,
-     transform) = _packed_pipeline(sub, commands)
 
-    def per_band(band_index, transforms):
-        adjusted = band_adjusted_transform(
-            transforms, band_index[0], num_bands
+    def run_once(scene_arrays, prepare, rasterize, cmd_i, cmd_f,
+                 desc_f, desc_i, transform):
+        def per_band(band_index, transforms):
+            adjusted = band_adjusted_transform(
+                transforms, band_index[0], num_bands
+            )
+            prepared = prepare(*scene_arrays, adjusted)
+            image = rasterize(prepared, cmd_i, cmd_f, desc_f, desc_i)
+            return image, prepared.overflow[None]
+
+        bands = jnp.arange(num_bands, dtype=jnp.int32)
+        mapped = jax.shard_map(
+            per_band,
+            mesh=mesh,
+            in_specs=(P(axis), None),
+            out_specs=(P(axis, None, None), P(axis, None)),
+            check_vma=False,
         )
-        prepared = prepare(*scene_arrays, adjusted)
-        return rasterize(prepared, cmd_i, cmd_f, desc_f, desc_i)
+        return mapped(bands, jnp.asarray(transform))
 
-    bands = jnp.arange(num_bands, dtype=jnp.int32)
-    mapped = jax.shard_map(
-        per_band,
-        mesh=mesh,
-        in_specs=(P(axis), None),
-        out_specs=P(axis, None, None),
-        check_vma=False,
-    )
-    image = mapped(bands, jnp.asarray(transform))
-    return np.asarray(image)
+    return _run_with_growth(sub, commands, run_once)
 
 
 def render_sharded_2d(
@@ -121,24 +140,26 @@ def render_sharded_2d(
     sub_w = renderer.width // nx
     platform = mesh.devices.reshape(-1)[0].platform
     sub = _sub_renderer(renderer, sub_w, sub_h, platform)
-    (scene_arrays, prepare, rasterize, cmd_i, cmd_f, desc_f, desc_i,
-     transform) = _packed_pipeline(sub, commands)
 
-    def per_rect(by, bx, transforms):
-        adjusted = rect_adjusted_transform(
-            transforms, by[0], ny, bx[0], nx
+    def run_once(scene_arrays, prepare, rasterize, cmd_i, cmd_f,
+                 desc_f, desc_i, transform):
+        def per_rect(by, bx, transforms):
+            adjusted = rect_adjusted_transform(
+                transforms, by[0], ny, bx[0], nx
+            )
+            prepared = prepare(*scene_arrays, adjusted)
+            image = rasterize(prepared, cmd_i, cmd_f, desc_f, desc_i)
+            return image, prepared.overflow[None, None]
+
+        bys = jnp.arange(ny, dtype=jnp.int32)
+        bxs = jnp.arange(nx, dtype=jnp.int32)
+        mapped = jax.shard_map(
+            per_rect,
+            mesh=mesh,
+            in_specs=(P(ay), P(ax), None),
+            out_specs=(P(ay, ax, None), P(ay, ax, None)),
+            check_vma=False,
         )
-        prepared = prepare(*scene_arrays, adjusted)
-        return rasterize(prepared, cmd_i, cmd_f, desc_f, desc_i)
+        return mapped(bys, bxs, jnp.asarray(transform))
 
-    bys = jnp.arange(ny, dtype=jnp.int32)
-    bxs = jnp.arange(nx, dtype=jnp.int32)
-    mapped = jax.shard_map(
-        per_rect,
-        mesh=mesh,
-        in_specs=(P(ay), P(ax), None),
-        out_specs=P(ay, ax, None),
-        check_vma=False,
-    )
-    image = mapped(bys, bxs, jnp.asarray(transform))
-    return np.asarray(image)
+    return _run_with_growth(sub, commands, run_once)

@@ -490,8 +490,11 @@ class Renderer:
         commands: Sequence[DrawCommand],
         background=None,
         to_host: bool = True,
+        as_uint8: bool = False,
     ):
-        """Render a frame; returns (H, W, 4) premultiplied RGBA float32.
+        """Render a frame; returns (H, W, 4) premultiplied RGBA float32
+        (or uint8 with ``as_uint8=True`` — quantized on device, cutting
+        the host transfer 4×).
 
         The compiled program is cached by the frame's static signature
         (command structure, padded table sizes); the binning stage is
@@ -522,25 +525,30 @@ class Renderer:
             spec = self._spec(ops, cmd_shape, scene)
             prepare, rasterize = self._get_executors(spec)
             pkey = (spec, scene_key, transforms.tobytes())
-            prepared = self._prepared_cache.get(pkey)
-            if prepared is None:
+            cached = self._prepared_cache.get(pkey)
+            if cached is not None:
+                prepared, self.stats = cached
+            else:
                 prepared = prepare(*scene.arrays, jnp.asarray(transforms))
                 limits = (
                     spec.capacity,
                     spec.global_capacity,
                     spec.tile_global_capacity,
                 )
+                stats = {
+                    "commands": len(commands),
+                    "shapes": len(shapes),
+                    "triangles_per_shape": scene.t_max,
+                    "tiles": spec.n_tiles,
+                }
                 if self.strict_capacity:
                     overflow = np.asarray(prepared.overflow)
-                    self.stats = {
-                        "commands": len(commands),
-                        "shapes": len(shapes),
-                        "triangles_per_shape": scene.t_max,
-                        "tiles": spec.n_tiles,
-                        "max_tile_entries": int(overflow[0]),
-                        "global_triangles": int(overflow[1]),
-                        "max_tile_globals": int(overflow[2]),
-                    }
+                    stats.update(
+                        max_tile_entries=int(overflow[0]),
+                        global_triangles=int(overflow[1]),
+                        max_tile_globals=int(overflow[2]),
+                    )
+                    self.stats = stats
                     logger.debug("prepare: %s", self.stats)
                     if self._grow_capacities(overflow, limits):
                         continue
@@ -552,9 +560,10 @@ class Renderer:
                     except AttributeError:
                         pass
                     self._pending_overflow = (prepared.overflow, limits)
+                    self.stats = stats
                 if len(self._prepared_cache) >= 8:
                     self._prepared_cache.pop(next(iter(self._prepared_cache)))
-                self._prepared_cache[pkey] = prepared
+                self._prepared_cache[pkey] = (prepared, self.stats)
             break
         else:
             raise RuntimeError("tile binning capacity did not converge")
@@ -562,6 +571,14 @@ class Renderer:
         cmd_i, cmd_f = self._pack_commands_runtime(commands)
         desc_f, desc_i = self._pack_descriptors(shapes)
         image = rasterize(prepared, cmd_i, cmd_f, desc_f, desc_i)
+        if as_uint8:
+            if background is not None:
+                image = self._composite_quantize(
+                    image, jnp.asarray(background, jnp.float32)
+                )
+            else:
+                image = self._quantize(image)
+            return image if not to_host else np.asarray(image)
         if not to_host:
             return image
         image = np.asarray(image)
@@ -569,3 +586,15 @@ class Renderer:
             alpha = image[..., 3:4]
             image = image + np.asarray(background, np.float32) * (1.0 - alpha)
         return image
+
+    @staticmethod
+    @jax.jit
+    def _quantize(image):
+        return (jnp.clip(image, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+
+    @staticmethod
+    @jax.jit
+    def _composite_quantize(image, background):
+        alpha = image[..., 3:4]
+        image = image + background * (1.0 - alpha)
+        return (jnp.clip(image, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)

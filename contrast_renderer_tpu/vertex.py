@@ -122,27 +122,7 @@ def fan_triangles(points):
     )
 
 
-def strip_triangles(points, attributes=None):
-    """Triangulate a strip v0,v1,v2,... into triangles (v_i, v_i+1, v_i+2).
-
-    Returns (xy, aux) where aux is None when no attributes are given.
-    Degenerate strip handling is the caller's job.
-    """
-    pts = np.asarray(points, dtype=np.float64).reshape(-1, 2)
-    if len(pts) < 3:
-        return np.zeros((0, 3, 2)), None
-    xy = np.stack([pts[:-2], pts[1:-1], pts[2:]], axis=1)
-    if attributes is None:
-        return xy, None
-    at = np.asarray(attributes, dtype=np.float64)
-    aux = np.stack([at[:-2], at[1:-1], at[2:]], axis=1)
-    return xy, aux
-
-
-def triangle_fan_to_strip(vertices):
-    """Reorder fan vertices into strip order (reference vertex.rs:28-35);
-    kept for API parity and testing."""
-    n = len(vertices)
-    return [
-        vertices[(i >> 1) if (i & 1) == 0 else (n - 1 - (i >> 1))] for i in range(n)
-    ]
+# The reference's strip encodings (vertex.rs:28-35 triangle_fan_to_strip,
+# primitive-restart strips) have no analogue here: flat triangle lists
+# are the natural SoA layout for binning, and fans decompose directly
+# via `fan_triangles`.

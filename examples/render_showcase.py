@@ -57,7 +57,8 @@ def main():
             shape.set_dynamic_stroke_options(
                 0, showcase.dashed_options(index * 0.032)
             )
-            image = renderer.render(commands)
+            # uint8 quantization on device: 4× less host transfer.
+            image = renderer.render(commands, as_uint8=True)
         if index == 0:
             log.info("scene stats: %s", renderer.stats)
         if index % args.save_every == 0:

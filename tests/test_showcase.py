@@ -17,6 +17,10 @@ def shape():
 
 class TestShowcase:
     def test_full_shape_builds_with_text(self):
+        import os
+
+        if not os.path.exists(showcase.OPEN_SANS_PATH):
+            pytest.skip("OpenSans test font unavailable")
         full = showcase.build_shape(with_text=True)
         # Dashed rounded-rect stroke + "Hello World" glyph fills.
         assert len(full.triangles) > 200

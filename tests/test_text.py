@@ -22,6 +22,12 @@ from contrast_renderer_tpu.text import (
 
 FONT_PATH = "/root/reference/examples/fonts/OpenSans-Regular.ttf"
 
+import os
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(FONT_PATH), reason="OpenSans test font unavailable"
+)
+
 
 @pytest.fixture(scope="module")
 def font():
