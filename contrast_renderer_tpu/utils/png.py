@@ -48,6 +48,61 @@ def write_png(path: str, image: np.ndarray) -> None:
         fh.write(data)
 
 
+def read_png(path: str) -> np.ndarray:
+    """Read an 8-bit RGBA PNG written by `write_png` (supports the five
+    standard row filters) into a (H, W, 4) uint8 array."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+    pos = 8
+    width = height = None
+    idat = b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + length]
+        if tag == b"IHDR":
+            width, height, depth, color = struct.unpack(">IIBB", payload[:10])
+            assert depth == 8 and color == 6, "only 8-bit RGBA supported"
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    raw = zlib.decompress(idat)
+    stride = width * 4
+    out = np.zeros((height, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    offset = 0
+    for y in range(height):
+        filter_type = raw[offset]
+        row = np.frombuffer(
+            raw, np.uint8, count=stride, offset=offset + 1
+        ).astype(np.int32)
+        offset += 1 + stride
+        if filter_type == 1:  # Sub
+            for x in range(4, stride):
+                row[x] = (row[x] + row[x - 4]) & 0xFF
+        elif filter_type == 2:  # Up
+            row = (row + prev) & 0xFF
+        elif filter_type == 3:  # Average
+            for x in range(stride):
+                left = row[x - 4] if x >= 4 else 0
+                row[x] = (row[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif filter_type == 4:  # Paeth
+            for x in range(stride):
+                a = row[x - 4] if x >= 4 else 0
+                b = prev[x]
+                c = prev[x - 4] if x >= 4 else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (row[x] + pred) & 0xFF
+        out[y] = row.astype(np.uint8)
+        prev = row
+    return out.reshape(height, width, 4)
+
+
 def unpremultiply(image: np.ndarray) -> np.ndarray:
     """Convert premultiplied RGBA float to straight RGBA."""
     image = np.asarray(image, np.float32)

@@ -190,6 +190,34 @@ class TestClipInsideOpacityGroup:
         assert np.allclose(image[2, 2], [0, 0, 1, 1], atol=1e-4)
 
 
+class TestGoldenImage:
+    def test_showcase_matches_golden(self):
+        # Whole-pipeline regression gate: the full showcase (fills +
+        # dashed strokes + text + instancing + perspective) against a
+        # stored render.  Tolerances absorb backend-boundary sample
+        # flips (the golden was rendered on TPU).
+        import os
+
+        from contrast_renderer_tpu.models import showcase
+        from contrast_renderer_tpu.utils.png import read_png
+
+        golden_path = os.path.join(
+            os.path.dirname(__file__), "golden", "showcase_192x108.png"
+        )
+        if not os.path.exists(showcase.OPEN_SANS_PATH):
+            pytest.skip("OpenSans test font unavailable")
+        w, h = 192, 108
+        renderer = Renderer(Configuration(), w, h)
+        shape = showcase.build_shape(with_text=True)
+        commands = showcase.showcase_commands(shape, w, h)
+        image = renderer.render(commands)
+        got = (np.clip(image, 0, 1) * 255.0 + 0.5).astype(np.uint8)
+        want = read_png(golden_path)
+        diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+        assert diff.mean() < 1.0, diff.mean()
+        assert (diff.max(axis=-1) > 32).mean() < 0.01
+
+
 class TestDegenerateFrames:
     def test_covers_only_frame(self):
         # A frame with no stencil command must compile and render
