@@ -43,7 +43,9 @@ def main():
     # Interactive camera motion uses the deferred capacity check (one
     # frame of latency on buffer growth instead of a sync per frame).
     renderer = Renderer(
-        Configuration(), width, height, strict_capacity=not orbit
+        Configuration(), width, height, strict_capacity=not orbit,
+        tile_size=int(os.environ.get("BENCH_TILE_H", "32")),
+        fill_batch=int(os.environ.get("BENCH_FILL_BATCH", "2")),
     )
     shape = showcase.build_shape(with_text=with_text)
     if on_accelerator:

@@ -18,6 +18,33 @@ def _cross(o, a, b):
     return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
 
 
+def outer_polygon(hull, k: int = 16) -> np.ndarray:
+    """Conservative k-gon superset of a convex hull (a k-DOP).
+
+    The cover passes only need a convex region *containing* the shape:
+    painting is gated by the winding counter (zero outside the shape)
+    and the alpha-group algebra is the identity on un-inked pixels, so
+    enlarging the cover region never changes output — it only bounds
+    the per-tile hull-line work.  A dense hull (e.g. 68 vertices for the
+    showcase shape, from sampled round corners) costs every boundary
+    tile |hull| line evaluations per sample; capping at k=16 supporting
+    directions bounds that at ~2% area overshoot (1/cos(pi/k)).
+    """
+    hull = np.asarray(hull, dtype=np.float64).reshape(-1, 2)
+    if len(hull) <= k:
+        return hull
+    ang = np.arange(k) * (2.0 * np.pi / k)
+    d = np.stack([np.cos(ang), np.sin(ang)], axis=-1)      # (k, 2)
+    h = (hull @ d.T).max(axis=0)                           # support values
+    nxt = (np.arange(k) + 1) % k
+    a1, b1, c1 = d[:, 0], d[:, 1], h
+    a2, b2, c2 = d[nxt, 0], d[nxt, 1], h[nxt]
+    det = a1 * b2 - a2 * b1                                # sin(2*pi/k) > 0
+    x = (c1 * b2 - c2 * b1) / det
+    y = (a1 * c2 - a2 * c1) / det
+    return np.stack([x, y], axis=-1)
+
+
 def andrew(input_points) -> np.ndarray:
     """Convex hull of (n, 2) points, counterclockwise, collinear points
     removed (up to ERROR_MARGIN in doubled-area units)."""

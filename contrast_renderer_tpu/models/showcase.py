@@ -100,33 +100,42 @@ def instance_transforms_and_colors(
             )
         ),
     )
-    transforms = [projection]
-    colors = [np.array([1.0, 1.0, 1.0, 1.0])]
-    for y in range(ROWS):
-        for x in range(COLUMNS):
-            motor = matrix.motor3d_new(
-                [
-                    1.0,
-                    0,
-                    0,
-                    0,
-                    0,
-                    (x + 0.5 - COLUMNS * 0.5) * 7.0,
-                    (y + 0.5 - ROWS * 0.5) * 3.0,
-                    -5.0,
-                ]
-            )
-            transforms.append(
-                matrix.matrix_multiplication(
-                    projection, matrix.motor3d_to_mat4(motor)
-                )
-            )
-            red = x / COLUMNS
-            green = y / ROWS
-            colors.append(np.array([red, green, 1.0 - red - green, 1.0]))
+    # The grid instances are pure-translation motors (dual part d,
+    # translation -2d); their mat4 product with the projection is the
+    # projection with a recombined last column — batched numpy instead
+    # of 45 Python-loop motor conversions (this runs per frame under
+    # camera animation).
+    n = ROWS * COLUMNS
+    x_idx = np.tile(np.arange(COLUMNS, dtype=np.float64), ROWS)
+    y_idx = np.repeat(np.arange(ROWS, dtype=np.float64), COLUMNS)
+    d = np.stack(
+        [
+            (x_idx + 0.5 - COLUMNS * 0.5) * 7.0,
+            (y_idx + 0.5 - ROWS * 0.5) * 3.0,
+            np.full(n, -5.0),
+        ],
+        axis=-1,
+    )
+    trans = -2.0 * d
+    col3 = (
+        projection[0][None] * trans[:, 0:1]
+        + projection[1][None] * trans[:, 1:2]
+        + projection[2][None] * trans[:, 2:3]
+        + projection[3][None]
+    )
+    mats = np.broadcast_to(projection, (n, 4, 4)).copy()
+    mats[:, 3, :] = col3
+    transforms = np.concatenate([np.asarray(projection)[None], mats])
+    red = x_idx / COLUMNS
+    green = y_idx / ROWS
+    colors = np.concatenate(
+        [
+            np.array([[1.0, 1.0, 1.0, 1.0]]),
+            np.stack([red, green, 1.0 - red - green, np.ones(n)], axis=-1),
+        ]
+    )
     # Column-layout mat4 → standard row-major for the renderer.
-    transforms = [np.asarray(t).T for t in transforms]
-    return np.stack(transforms), np.stack(colors)
+    return transforms.transpose(0, 2, 1), colors
 
 
 def showcase_commands(

@@ -123,17 +123,29 @@ RI_GROUP = 2
 RI_FLAGS = 3       # bits 0..2 top-left edge rule, 3 end-cap, 4 joint tip
 RI_FILL = 4        # 1 for fill kinds, 0 for strokes
 RI_CMD = 5         # originating command index
-RI_CLASS = 6       # processing class: 0 line, 1 joint, 2 solid, 3 quad, 4 cubic
+RI_CLASS = 6       # processing class (CLS_*)
 D_I = 8
 
 #: Entries are range-sorted per (tile, command, class) so the kernel
-#: runs a specialized, branch-free body per class; stroke classes (0, 1)
-#: sort before fill classes, preserving the reference's draw order.
-N_CLASSES = 5
-#: Fill batch width: fill entries are processed NB at a time with the
-#: per-triangle coefficients broadcast as (NB, 1, 1) vectors.  NB=2
-#: measured best on v5e: showcase ranges are short (1-2 entries per
-#: (tile, command, class)), so wider batches waste masked lanes.
+#: runs a specialized, branch-free body per class.  Stroke entries are
+#: additionally split by their group's dash mode (solid /
+#: single-interval / multi-interval) so no per-entry runtime branch is
+#: needed to pick the dash predicate; stroke classes sort before fill
+#: classes, preserving the reference's draw order (renderer.rs:275-336).
+CLS_LINE_SOLID = 0
+CLS_LINE_DASH1 = 1
+CLS_LINE_DASHN = 2
+CLS_JOINT_SOLID = 3
+CLS_JOINT_DASH1 = 4
+CLS_JOINT_DASHN = 5
+CLS_FILL_SOLID = 6
+CLS_FILL_QUAD = 7
+CLS_FILL_CUBIC = 8
+N_CLASSES = 9
+#: Default fill batch width: fill entries are processed NB at a time
+#: with the per-triangle coefficients broadcast as (NB, 1, 1) vectors.
+#: NB=2 measured best on v5e for the showcase; FrameSpec.fill_batch
+#: overrides per frame program.
 NB = 2
 
 FLAG_END_CAP = 8
@@ -173,8 +185,10 @@ class FrameSpec:
     capacity: int = 256             # per-tile local entry rows
     global_capacity: int = 2048     # big-triangle rows
     tile_global_capacity: int = 128  # per-tile big-triangle entries
+    clip_pool: int = 64             # near-plane-crossing triangle slots
     slots_x: int = 2
     slots_y: int = 2
+    fill_batch: int = NB            # fill entries evaluated per step
     interpret: bool = False
 
     @property
@@ -209,7 +223,8 @@ class PreparedFrame(NamedTuple):
     aclist: jnp.ndarray   # (n_tiles, 1, C) active command indices
     acount: jnp.ndarray   # (n_tiles, 1, 1)
     hull_lines: jnp.ndarray  # (C, Hm, 4) inward-oriented pixel lines
-    overflow: jnp.ndarray    # (3,) max local count, global count, max tile globals
+    overflow: jnp.ndarray    # (4,) max local count, global count,
+    #                          max tile globals, near-plane crossings
 
 
 # ---------------------------------------------------------------------------
@@ -247,23 +262,25 @@ def make_prepare(spec: FrameSpec):
     K = spec.capacity
     G = spec.global_capacity
     Kg = spec.tile_global_capacity
+    NB = spec.fill_batch
     mx, my = spec.slots_x, spec.slots_y
     M = mx * my
 
-    def prepare(xy, aux, kind, meta, gbase, hull, transforms):
+    def prepare(xy, aux, kind, meta, gbase, hull, transforms, desc_static):
         """xy (Ns,T,3,2) aux (Ns,T,3,4) kind (Ns,T) meta (Ns,T,2)
-        gbase (Ns,) hull (Ns,Hm,2) transforms (C,4,4) — all device."""
+        gbase (Ns,) hull (Ns,Hm,2) transforms (C,4,4)
+        desc_static (n_groups, 2) = [dashed, last_interval] per stroke
+        group — determines each stroke entry's dash class so the kernel
+        dispatches statically (re-binning when a pattern's interval
+        count changes; phase/gap animation stays runtime)."""
         f32 = jnp.float32
         i32 = jnp.int32
 
         # ---- per-stencil-command triangle setup -----------------------
         sidx = jnp.asarray(stencil_sel)
-        sshape = jnp.asarray(cmd_shape[stencil_sel]) if Cs else jnp.zeros(0, i32)
+        sshape = jnp.asarray(cmd_shape[stencil_sel])
         sxy = xy[sshape]                     # (Cs, T, 3, 2)
         saux = aux[sshape]
-        skind = kind[sshape]
-        smeta = meta[sshape]
-        sgbase = gbase[sshape]
         stf = transforms[sidx]               # (Cs, 4, 4)
 
         v = jnp.concatenate(
@@ -273,12 +290,93 @@ def make_prepare(spec: FrameSpec):
         clip = jnp.einsum(
             "ctvk,crk->ctvr", v, stf, precision=jax.lax.Precision.HIGHEST
         )
-        w = clip[..., 3]
+
+        # ---- flatten to rows (one row per screen triangle) ------------
+        N0 = Cs * T
+        clip_flat = clip.reshape(N0, 3, 4)
+        aux_flat = saux.reshape(N0, 3, 4)
+        kind_flat = kind[sshape].reshape(N0)
+        meta_flat = meta[sshape].reshape(N0, 2)
+        gbase_flat = jnp.repeat(gbase[sshape], T)
+        cmd_flat = jnp.repeat(sidx, T)
+
+        # ---- near-plane clipping of crossing triangles -----------------
+        # The GPU hardware clips primitives against w > 0 before
+        # rasterization; triangles crossing the near plane are
+        # Sutherland-Hodgman clipped here into up to two sub-triangles
+        # (a fixed pool of E slots; overflow is reported so the host can
+        # regrow).  Clip-space coordinates and the per-vertex implicit
+        # weights both interpolate linearly along a clip-space edge.
+        E = spec.clip_pool
+        w_eps = jnp.float32(1e-6)
+        w_all = clip_flat[..., 3]
+        win = w_all > w_eps
+        n_in = jnp.sum(win.astype(i32), axis=-1)
+        crossing = (n_in >= 1) & (n_in <= 2)
+        cross_total = jnp.sum(crossing.astype(i32))
+        ckey = jnp.where(crossing, N0 - jnp.arange(N0, dtype=i32), -1)
+        _cvals, cidx = jax.lax.top_k(ckey, min(E, N0))
+        if E > N0:
+            cidx = jnp.pad(cidx, (0, E - N0))
+        slot_ok = jnp.arange(E, dtype=i32) < jnp.minimum(cross_total, E)
+
+        attr = jnp.concatenate(
+            [clip_flat[cidx], aux_flat[cidx]], axis=-1
+        )  # (E, 3, 8)
+        wa = attr[..., 3]
+        a_in = wa > w_eps
+        nxt = attr[:, jnp.asarray([1, 2, 0]), :]
+        wb = wa[:, jnp.asarray([1, 2, 0])]
+        b_in = wb > w_eps
+        denom = jnp.where(wb - wa != 0.0, wb - wa, 1.0)
+        t_cross = (w_eps - wa) / denom
+        inter = attr + t_cross[..., None] * (nxt - attr)
+        out_v = jnp.stack([attr, inter], axis=2).reshape(E, 6, 8)
+        out_ok = jnp.stack([a_in, a_in != b_in], axis=2).reshape(E, 6)
+        rank = jnp.cumsum(out_ok.astype(i32), axis=1) - 1
+        cnt = jnp.sum(out_ok.astype(i32), axis=1)
+        rows_e = jnp.broadcast_to(jnp.arange(E, dtype=i32)[:, None], (E, 6))
+        slot = jnp.where(out_ok, jnp.minimum(rank, 4), 4)
+        poly = jnp.zeros((E * 5, 8), f32).at[
+            (rows_e * 5 + slot).reshape(-1)
+        ].set(out_v.reshape(-1, 8), mode="drop").reshape(E, 5, 8)[:, :4]
+        in_use = (
+            jnp.arange(4, dtype=i32)[None, :] < jnp.minimum(cnt, 4)[:, None]
+        )
+        poly = jnp.where(in_use[..., None], poly, poly[:, 0:1])
+        # Fan: (p0, p1, p2) and (p0, p2, p3); with a 3-vertex polygon the
+        # second is degenerate (zero area) and culled downstream.
+        tri0 = poly[:, jnp.asarray([0, 1, 2])]
+        tri1 = poly[:, jnp.asarray([0, 2, 3])]
+        pool_attr = jnp.concatenate([tri0, tri1], axis=0)   # (2E, 3, 8)
+        pool_valid = jnp.tile(slot_ok, 2)
+        pool_clip = jnp.where(
+            pool_valid[:, None, None], pool_attr[..., :4], 0.0
+        )
+        pool_aux = pool_attr[..., 4:]
+        pool_src = jnp.tile(jnp.where(slot_ok, cidx, 0), 2)
+
+        clip_all = jnp.concatenate([clip_flat, pool_clip])   # (N, 3, 4)
+        aux_all = jnp.concatenate([aux_flat, pool_aux])
+        kind_all = jnp.concatenate([kind_flat, kind_flat[pool_src]])
+        meta_all = jnp.concatenate([meta_flat, meta_flat[pool_src]])
+        gbase_all = jnp.concatenate([gbase_flat, gbase_flat[pool_src]])
+        cmd_of = jnp.concatenate([cmd_flat, cmd_flat[pool_src]])
+        # Original crossing rows are superseded by their pool
+        # sub-triangles; fully-behind rows fail the w test either way.
+        near_ok = jnp.concatenate(
+            [jnp.all(win, axis=-1),
+             jnp.all(pool_clip[..., 3] > 0.0, axis=-1) & pool_valid]
+        )
+        n_rows = N0 + 2 * E
+
+        # ---- screen-space projection + edge setup ----------------------
+        w = clip_all[..., 3]
         inv_w = jnp.where(w != 0.0, 1.0 / w, 0.0)
-        ndc = clip[..., :2] * inv_w[..., None]
+        ndc = clip_all[..., :2] * inv_w[..., None]
         px = (ndc[..., 0] + 1.0) * (0.5 * W)
         py = (1.0 - ndc[..., 1]) * (0.5 * H)
-        pix = jnp.stack([px, py], axis=-1)   # (Cs, T, 3, 2)
+        pix = jnp.stack([px, py], axis=-1)   # (N, 3, 2)
 
         v0, v1, v2 = pix[..., 0, :], pix[..., 1, :], pix[..., 2, :]
         area = (v1[..., 0] - v0[..., 0]) * (v2[..., 1] - v0[..., 1]) - (
@@ -286,7 +384,7 @@ def make_prepare(spec: FrameSpec):
         ) * (v2[..., 0] - v0[..., 0])
         orient = jnp.sign(area)
         finite = jnp.all(jnp.isfinite(pix), axis=(-1, -2)) & jnp.isfinite(area)
-        visible = finite & (area != 0.0) & jnp.all(w > 0.0, axis=-1)
+        visible = finite & (area != 0.0) & near_ok
 
         edges = []
         tl_bits = jnp.zeros(area.shape, i32)
@@ -303,22 +401,22 @@ def make_prepare(spec: FrameSpec):
             )
             tl_bits = tl_bits | (top_left.astype(i32) << e_index)
             edges.append(jnp.stack([ea, eb, ec], axis=-1))
-        edge = jnp.stack(edges, axis=-2)     # (Cs, T, 3, 3)
+        edge = jnp.stack(edges, axis=-2)     # (N, 3, 3)
         inv_area = jnp.where(area != 0.0, 1.0 / jnp.abs(area), 0.0)
 
-        aux_w = saux * inv_w[..., None]
+        aux_w = aux_all * inv_w[..., None]
         perm = jnp.asarray([2, 0, 1])
         aw = aux_w[..., perm, :]             # aw[k] pairs edge k
         iw = inv_w[..., perm]
 
-        is_fill = skind <= KIND_RATIONAL_CUBIC
+        is_fill = kind_all <= KIND_RATIONAL_CUBIC
         contribution = jnp.where(
             visible & is_fill, -orient.astype(i32), 0
         )
         contribution = jnp.where(visible & ~is_fill, 1, contribution)
 
-        group_flags = smeta[..., 0].astype(i32)
-        group = sgbase[:, None] + (group_flags & 0xFFFF)
+        group_flags = meta_all[..., 0].astype(i32)
+        group = gbase_all + (group_flags & 0xFFFF)
         flags = (
             tl_bits
             | jnp.where((group_flags & 0x10000) != 0, FLAG_END_CAP, 0)
@@ -335,53 +433,54 @@ def make_prepare(spec: FrameSpec):
         )
         contribution = jnp.where(live, contribution, 0)
 
-        n_rows = max(1, Cs * T)
         rows_f = jnp.concatenate(
             [
-                edge.reshape(Cs, T, 9),
+                edge.reshape(n_rows, 9),
                 inv_area[..., None],
-                aw.reshape(Cs, T, 12),
+                aw.reshape(n_rows, 12),
                 iw,
-                smeta[..., 1:2],
+                meta_all[..., 1:2],
                 aabb,
-                jnp.zeros((Cs, T, D_F - 30), f32),
+                jnp.zeros((n_rows, D_F - 30), f32),
             ],
             axis=-1,
-        ).reshape(Cs * T, D_F) if Cs else jnp.zeros((n_rows, D_F), f32)
-        cmd_of = jnp.repeat(sidx, T) if Cs else jnp.zeros(n_rows, i32)
+        )
+        grp_dashed = desc_static[group, 0]
+        grp_last = desc_static[group, 1]
+        dash_mode = jnp.where(
+            grp_dashed == 0, 0, jnp.where(grp_last == 0, 1, 2)
+        )
         clsk = jnp.where(
-            skind == KIND_STROKE_LINE, 0,
+            kind_all == KIND_STROKE_LINE, CLS_LINE_SOLID + dash_mode,
             jnp.where(
-                skind == KIND_STROKE_JOINT, 1,
+                kind_all == KIND_STROKE_JOINT, CLS_JOINT_SOLID + dash_mode,
                 jnp.where(
-                    skind == KIND_SOLID, 2,
+                    kind_all == KIND_SOLID, CLS_FILL_SOLID,
                     jnp.where(
-                        (skind == KIND_INTEGRAL_QUADRATIC)
-                        | (skind == KIND_RATIONAL_QUADRATIC), 3, 4,
+                        (kind_all == KIND_INTEGRAL_QUADRATIC)
+                        | (kind_all == KIND_RATIONAL_QUADRATIC),
+                        CLS_FILL_QUAD, CLS_FILL_CUBIC,
                     ),
                 ),
             ),
         )
         rows_i = jnp.stack(
             [
-                skind.reshape(-1),
-                contribution.reshape(-1),
-                group.reshape(-1),
-                flags.reshape(-1),
-                is_fill.reshape(-1).astype(i32),
+                kind_all,
+                contribution,
+                group,
+                flags,
+                is_fill.astype(i32),
                 cmd_of,
-                clsk.reshape(-1),
-                jnp.zeros(Cs * T, i32),
+                clsk,
+                jnp.zeros(n_rows, i32),
             ],
             axis=-1,
-        ) if Cs else jnp.zeros((n_rows, D_I), i32)
-
-        live = live.reshape(-1) if Cs else jnp.zeros(n_rows, bool)
-        aabb_flat = aabb.reshape(-1, 4) if Cs else jnp.zeros((n_rows, 4), f32)
-        solid_flat = (
-            (skind.reshape(-1) == KIND_SOLID)
-            if Cs else jnp.zeros(n_rows, bool)
         )
+
+        live = live.reshape(-1)
+        aabb_flat = aabb
+        solid_flat = kind_all == KIND_SOLID
         contrib_flat = rows_i[:, RI_CONTRIB]
         class_flat = rows_i[:, RI_CLASS]
         key2_flat = cmd_of * N_CLASSES + class_flat
@@ -667,7 +766,7 @@ def make_prepare(spec: FrameSpec):
         acount = jnp.sum(active.astype(i32), axis=1)
 
         overflow = jnp.stack(
-            [jnp.max(tile_count), g_total, jnp.max(tile_g_count)]
+            [jnp.max(tile_count), g_total, jnp.max(tile_g_count), cross_total]
         ).astype(i32)
 
         return PreparedFrame(
@@ -740,7 +839,37 @@ def _cap_mask(cap_type, tex_x, tex_y):
     return out
 
 
-def _dash_mask(desc_f_row, desc_i_row, tex_x, tex_y):
+def _cap_mask_scalar(cap_type, tex_x, tex_y):
+    """Cap predicate for a *scalar* cap type: `lax.switch` dispatches to
+    the one analytic case (shaders.wgsl:165-189) instead of evaluating
+    the 7-way where-chain over every sample.  Solid strokes and
+    single-interval dash patterns (the common cases) have scalar caps."""
+    branches = [
+        lambda: (tex_y <= 0.5).astype(jnp.int32),                    # SQUARE
+        lambda: (tex_x * tex_x + tex_y * tex_y < 0.25).astype(jnp.int32),
+        lambda: (0.5 - tex_y > jnp.abs(tex_x)).astype(jnp.int32),    # OUT
+        lambda: (tex_y < jnp.abs(tex_x)).astype(jnp.int32),          # IN
+        lambda: (0.5 - tex_y > tex_x).astype(jnp.int32),             # RIGHT
+        lambda: (tex_y - 0.5 < tex_x).astype(jnp.int32),             # LEFT
+        lambda: (tex_y < 0.0).astype(jnp.int32),                     # BUTT
+    ]
+    return jax.lax.switch(cap_type, branches) != 0
+
+
+def _dash_mask_single(desc_f_row, desc_i_row, tex_x, tex_y):
+    """Dashed coverage for a single-interval pattern: no per-sample
+    interval search, scalar cap types.  Entries are routed here
+    statically by their binning class (CLS_*_DASH1)."""
+    pattern_len = desc_f_row[4]
+    position = jnp.remainder(tex_y - desc_f_row[8], pattern_len)
+    past = position - desc_f_row[0]
+    in_dash = past <= 0.0
+    cap_a = _cap_mask_scalar(desc_i_row[0], tex_x, past)
+    cap_b = _cap_mask_scalar(desc_i_row[4], tex_x, pattern_len - position)
+    return in_dash | cap_a | cap_b
+
+
+def _dash_mask_general(desc_f_row, desc_i_row, tex_x, tex_y):
     """Dashed coverage (shaders.wgsl:205-231) for one descriptor row
     (scalars) at per-sample pattern position tex_y, side tex_x."""
     last = desc_i_row[8]
@@ -784,6 +913,7 @@ def make_rasterize(spec: FrameSpec):
     K = spec.capacity
     Kg = spec.tile_global_capacity
     G = spec.global_capacity
+    NB = spec.fill_batch
     S = spec.samples
     L = max(1, spec.n_layers)
     winding_mask = (1 << spec.winding_bits) - 1
@@ -819,174 +949,76 @@ def make_rasterize(spec: FrameSpec):
         colorb[...] = jnp.zeros((4, S, th, tw), jnp.float32)
         layerb[...] = jnp.zeros((L, S, th, tw), jnp.float32)
 
-        # Strip subdivision (processing (8, tw) row strips with per-entry
-        # AABB skip tests) measured as a net loss on v5e — the scalar
-        # branches and shorter vector ops cost more than the skipped
-        # lanes save (4K showcase 69→56 FPS, strokes 53→31 FPS) — and
-        # Mosaic aborts on strip-sliced (1, h, w) state.  Whole-tile
-        # processing is the fast path; the strip machinery remains for
-        # future tuning.
-        n_strips = 1
-
-        def process_row(rf, ri, clip_ok):
-            """One triangle row against the tile, one (8, tw) row strip
-            at a time: a strip the triangle's pixel AABB misses is
-            skipped with two scalar compares — small triangles (glyph
-            curves, stroke quads) usually live in a single strip."""
+        def process_stroke(rf, ri, clip_ok, joint, dash_mode):
+            """One stroke entry against the whole tile.  `joint` and
+            `dash_mode` (0 solid / 1 single-interval / 2 general) are
+            Python statics — the binning class routed the entry here, so
+            the body is branch-free (strip subdivision was measured a net
+            loss on v5e: 4K showcase 69→56 FPS; whole-tile it is)."""
             flags = ri[RI_FLAGS]
-            kind = ri[RI_KIND]
-            contrib = ri[RI_CONTRIB]
             grp = ri[RI_GROUP]
-            ay0 = rf[RF_AABB + 1]
-            ay1 = rf[RF_AABB + 3]
-
-            def strip_body(sl):
-                def rd(ref_like):
-                    return ref_like[:, sl]
-
-                def wr(ref_like, value):
-                    ref_like[:, sl] = value
-
-                pxs = rd(px)
-                pys = rd(py)
-                cok = rd(clip_ok)
-                e0 = rf[0] * pxs + rf[1] * pys + rf[2]
-                e1 = rf[3] * pxs + rf[4] * pys + rf[5]
-                e2 = rf[6] * pxs + rf[7] * pys + rf[8]
-                inside = (
-                    ((e0 > 0.0) | ((e0 == 0.0) & ((flags & 1) != 0)))
-                    & ((e1 > 0.0) | ((e1 == 0.0) & ((flags & 2) != 0)))
-                    & ((e2 > 0.0) | ((e2 == 0.0) & ((flags & 4) != 0)))
+            e0 = rf[0] * px + rf[1] * py + rf[2]
+            e1 = rf[3] * px + rf[4] * py + rf[5]
+            e2 = rf[6] * px + rf[7] * py + rf[8]
+            inside = (
+                ((e0 > 0.0) | ((e0 == 0.0) & ((flags & 1) != 0)))
+                & ((e1 > 0.0) | ((e1 == 0.0) & ((flags & 2) != 0)))
+                & ((e2 > 0.0) | ((e2 == 0.0) & ((flags & 4) != 0)))
+            )
+            invA = rf[RF_INV_AREA]
+            l0 = e0 * invA
+            l1 = e1 * invA
+            l2 = e2 * invA
+            n_ch = 3 if joint else 2
+            ch = [
+                l0 * rf[RF_AW + c] + l1 * rf[RF_AW + 4 + c]
+                + l2 * rf[RF_AW + 8 + c]
+                for c in range(n_ch)
+            ]
+            iw = l0 * rf[RF_IW] + l1 * rf[RF_IW + 1] + l2 * rf[RF_IW + 2]
+            inv = 1.0 / jnp.where(iw != 0.0, iw, 1.0)
+            tex_x = ch[0] * inv
+            tex_y = ch[1] * inv
+            if joint:
+                tex_z = ch[2] * inv
+                radius = jnp.sqrt(tex_x * tex_x + tex_y * tex_y)
+                join = desc_i[grp, 10]
+                is_tip = (flags & FLAG_JOINT_TIP) != 0
+                is_bevel = join == int(Join.BEVEL)
+                is_round = join == int(Join.ROUND)
+                # Boolean algebra (no i1-vector selects): miter keeps
+                # everything, bevel drops tip triangles, round keeps
+                # the half-width disc (shaders.wgsl:191-203).
+                keep = (
+                    ((~is_bevel & ~is_round) & (radius >= 0.0))
+                    | ((is_bevel & ~is_tip) & (radius >= 0.0))
+                    | (is_round & (radius <= 0.5))
                 )
-
-                def interp():
-                    invA = rf[RF_INV_AREA]
-                    l0 = e0 * invA
-                    l1 = e1 * invA
-                    l2 = e2 * invA
-                    ch = [
-                        l0 * rf[RF_AW + c] + l1 * rf[RF_AW + 4 + c]
-                        + l2 * rf[RF_AW + 8 + c]
-                        for c in range(4)
-                    ]
-                    iw = (
-                        l0 * rf[RF_IW] + l1 * rf[RF_IW + 1]
-                        + l2 * rf[RF_IW + 2]
-                    )
-                    return ch, iw
-
-                @pl.when(kind == KIND_SOLID)
-                def _solid():
-                    wr(wind, rd(wind) + jnp.where(inside & cok, contrib, 0))
-
-                @pl.when(
-                    (kind == KIND_INTEGRAL_QUADRATIC)
-                    | (kind == KIND_RATIONAL_QUADRATIC)
-                )
-                def _quad():
-                    ch, _ = interp()
-                    keep = ch[0] * ch[0] - ch[1] * ch[2] <= 0.0
-                    wr(wind, rd(wind) + jnp.where(
-                        inside & keep & cok, contrib, 0
-                    ))
-
-                @pl.when(
-                    (kind == KIND_INTEGRAL_CUBIC)
-                    | (kind == KIND_RATIONAL_CUBIC)
-                )
-                def _cubic():
-                    ch, _ = interp()
-                    keep = (
-                        ch[0] * ch[0] * ch[0] - ch[1] * ch[2] * ch[3] <= 0.0
-                    )
-                    wr(wind, rd(wind) + jnp.where(
-                        inside & keep & cok, contrib, 0
-                    ))
-
-                @pl.when(kind == KIND_STROKE_LINE)
-                def _line():
-                    ch, iw = interp()
-                    inv = 1.0 / jnp.where(iw != 0.0, iw, 1.0)
-                    tex_x = ch[0] * inv
-                    tex_y = ch[1] * inv
-                    dashed = desc_i[grp, 9] != 0
-
-                    def dash_keep():
-                        return _dash_mask(
-                            desc_f[grp, :], desc_i[grp, :], tex_x, tex_y
-                        ).astype(jnp.int32)
-
-                    def solid_keep():
-                        end_cap = _cap_mask(
-                            desc_i[grp, 12], tex_x, tex_y - rf[RF_END_Y]
-                        )
-                        start_cap = _cap_mask(
-                            desc_i[grp, 11], tex_x, -tex_y
-                        )
-                        end_flag = (flags & FLAG_END_CAP) != 0
-                        return (
-                            (end_flag & end_cap)
-                            | (~end_flag & ((tex_y >= 0.0) | start_cap))
-                        ).astype(jnp.int32)
-
-                    # Scalar branch: a group is either dashed or solid —
-                    # evaluate only that predicate (i32 through the
-                    # branch; Mosaic dislikes i1-vector results).
-                    keep = jax.lax.cond(dashed, dash_keep, solid_keep) != 0
-                    covered = inside & keep & cok
-                    current = rd(wind)
-                    wr(wind, jnp.where(covered & (current == 0), 1, current))
-
-                @pl.when(kind == KIND_STROKE_JOINT)
-                def _joint():
-                    ch, iw = interp()
-                    inv = 1.0 / jnp.where(iw != 0.0, iw, 1.0)
-                    tex_x = ch[0] * inv
-                    tex_y = ch[1] * inv
-                    tex_z = ch[2] * inv
-                    radius = jnp.sqrt(tex_x * tex_x + tex_y * tex_y)
-                    join = desc_i[grp, 10]
-                    is_tip = (flags & FLAG_JOINT_TIP) != 0
-                    is_bevel = join == int(Join.BEVEL)
-                    is_round = join == int(Join.ROUND)
-                    # Boolean algebra (no i1-vector selects): miter keeps
-                    # everything, bevel drops tip triangles, round keeps
-                    # the half-width disc.
-                    fill = (
-                        ((~is_bevel & ~is_round) & (radius >= 0.0))
-                        | ((is_bevel & ~is_tip) & (radius >= 0.0))
-                        | (is_round & (radius <= 0.5))
-                    )
-                    dashed = desc_i[grp, 9] != 0
-
-                    def dash_keep():
-                        angle = _atan2(tex_y, tex_x) * jnp.float32(
-                            1.0 / TAU
-                        )
-                        return _dash_mask(
-                            desc_f[grp, :], desc_i[grp, :], radius,
-                            tex_z + angle,
-                        ).astype(jnp.int32)
-
-                    def no_dash():
-                        return jnp.ones(pxs.shape, jnp.int32)
-
-                    keep = fill & (
-                        jax.lax.cond(dashed, dash_keep, no_dash) != 0
-                    )
-                    covered = inside & keep & cok
-                    current = rd(wind)
-                    wr(wind, jnp.where(covered & (current == 0), 1, current))
-
-            if n_strips == 1:
-                strip_body(slice(0, th))
+                if dash_mode:
+                    angle = _atan2(tex_y, tex_x) * jnp.float32(1.0 / TAU)
+                    dm = (
+                        _dash_mask_single if dash_mode == 1
+                        else _dash_mask_general
+                    )(desc_f[grp, :], desc_i[grp, :], radius, tex_z + angle)
+                    keep = keep & dm
+            elif dash_mode:
+                keep = (
+                    _dash_mask_single if dash_mode == 1
+                    else _dash_mask_general
+                )(desc_f[grp, :], desc_i[grp, :], tex_x, tex_y)
             else:
-                for s in range(n_strips):
-                    strip_lo = tile_y0 + (s * 8)
-
-                    @pl.when((ay0 <= strip_lo + 8.0) & (ay1 >= strip_lo))
-                    def _strip(s=s):
-                        strip_body(slice(s * 8, s * 8 + 8))
+                end_cap = _cap_mask_scalar(
+                    desc_i[grp, 12], tex_x, tex_y - rf[RF_END_Y]
+                )
+                start_cap = _cap_mask_scalar(desc_i[grp, 11], tex_x, -tex_y)
+                end_flag = (flags & FLAG_END_CAP) != 0
+                keep = (
+                    (end_flag & end_cap)
+                    | (~end_flag & ((tex_y >= 0.0) | start_cap))
+                )
+            covered = inside & keep & clip_ok
+            current = wind[...]
+            wind[...] = jnp.where(covered & (current == 0), 1, current)
 
         def process_fill_batch(rf4, ri4, j0, hi, class_code, clip_ok):
             """NB fill triangles at once.  All per-triangle quantities
@@ -1018,7 +1050,9 @@ def make_rasterize(spec: FrameSpec):
             tl1 = (flags4 & 2) != 0
             tl2 = (flags4 & 4) != 0
 
-            n_ch = {2: 0, 3: 3, 4: 4}[class_code]
+            n_ch = {
+                CLS_FILL_SOLID: 0, CLS_FILL_QUAD: 3, CLS_FILL_CUBIC: 4,
+            }[class_code]
             if n_ch:
                 inv_area = cf(RF_INV_AREA)
                 l0 = e0 * inv_area
@@ -1054,12 +1088,12 @@ def make_rasterize(spec: FrameSpec):
                     & ((e1 > nt1) | ((e1 == nt1) & tl1))
                     & ((e2 > nt2) | ((e2 == nt2) & tl2))
                 )
-                if class_code == 3:
+                if class_code == CLS_FILL_QUAD:
                     xs = ch_c[0] + (gx[0] * dx + gy[0] * dy)
                     ys = ch_c[1] + (gx[1] * dx + gy[1] * dy)
                     zs = ch_c[2] + (gx[2] * dx + gy[2] * dy)
                     keep = keep & (xs * xs - ys * zs <= 0.0)
-                elif class_code == 4:
+                elif class_code == CLS_FILL_CUBIC:
                     xs = ch_c[0] + (gx[0] * dx + gy[0] * dy)
                     ys = ch_c[1] + (gx[1] * dx + gy[1] * dy)
                     zs = ch_c[2] + (gx[2] * dx + gy[2] * dy)
@@ -1081,19 +1115,34 @@ def make_rasterize(spec: FrameSpec):
             def _stencil():
                 base = N_CLASSES * c
 
-                def local_stroke(j, inner):
-                    process_row(tri_f[0, j, :], tri_i[0, j, :], clip_ok)
-                    return inner
+                # Stroke classes — six branch-free specializations
+                # (lines/joints × solid/single-dash/general-dash); they
+                # run before fills, matching the reference's draw order.
+                for cls_code, joint, dash_mode in (
+                    (CLS_LINE_SOLID, False, 0),
+                    (CLS_LINE_DASH1, False, 1),
+                    (CLS_LINE_DASHN, False, 2),
+                    (CLS_JOINT_SOLID, True, 0),
+                    (CLS_JOINT_DASH1, True, 1),
+                    (CLS_JOINT_DASHN, True, 2),
+                ):
+                    def local_stroke(j, inner, joint=joint,
+                                     dash_mode=dash_mode):
+                        process_stroke(
+                            tri_f[0, j, :], tri_i[0, j, :], clip_ok,
+                            joint, dash_mode,
+                        )
+                        return inner
 
-                def global_stroke(j, inner):
-                    g = glist[0, 0, j]
-                    process_row(g_rows_f[g, :], g_rows_i[g, :], clip_ok)
-                    return inner
+                    def global_stroke(j, inner, joint=joint,
+                                      dash_mode=dash_mode):
+                        g = glist[0, 0, j]
+                        process_stroke(
+                            g_rows_f[g, :], g_rows_i[g, :], clip_ok,
+                            joint, dash_mode,
+                        )
+                        return inner
 
-                # Stroke classes (0: lines, 1: joints) — per entry, with
-                # the dash/solid predicates; they run before fills,
-                # matching the reference's draw order.
-                for cls_code in (0, 1):
                     jax.lax.fori_loop(
                         off[0, 0, base + cls_code],
                         off[0, 0, base + cls_code + 1],
@@ -1105,10 +1154,11 @@ def make_rasterize(spec: FrameSpec):
                         global_stroke, 0,
                     )
 
-                # Fill classes (2: solid, 3: quadratic, 4: cubic) — NB
-                # entries at a time with coefficients as (NB, 1, 1)
-                # vectors; winding adds commute within a command.
-                for cls_code in (2, 3, 4):
+                # Fill classes (solid, quadratic, cubic) — NB entries at
+                # a time with coefficients as (NB, 1, 1) vectors;
+                # winding adds commute within a command.
+                for cls_code in (CLS_FILL_SOLID, CLS_FILL_QUAD,
+                                 CLS_FILL_CUBIC):
                     lo = off[0, 0, base + cls_code]
                     hi = off[0, 0, base + cls_code + 1]
 

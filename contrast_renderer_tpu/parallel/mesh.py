@@ -68,10 +68,12 @@ def _packed_pipeline(sub, commands):
     prepare, rasterize = sub._get_executors(spec)
     cmd_i, cmd_f = Renderer._pack_commands_runtime(commands)
     desc_f, desc_i = Renderer._pack_descriptors(shapes)
+    desc_static = np.ascontiguousarray(desc_i[:, [9, 8]])
     transform = np.stack(
         [np.asarray(c.transform, np.float32) for c in commands]
     )
-    return scene.arrays, prepare, rasterize, cmd_i, cmd_f, desc_f, desc_i, transform
+    return (scene.arrays, prepare, rasterize, cmd_i, cmd_f, desc_f, desc_i,
+            desc_static, transform)
 
 
 def _run_with_growth(sub, commands, run_once):
@@ -84,8 +86,9 @@ def _run_with_growth(sub, commands, run_once):
             sub.tile_capacity,
             sub._global_capacity,
             sub._tile_global_capacity,
+            sub._clip_pool,
         )
-        worst = np.asarray(overflow).reshape(-1, 3).max(axis=0)
+        worst = np.asarray(overflow).reshape(-1, 4).max(axis=0)
         if not sub._grow_capacities(worst, limits):
             return np.asarray(image)
     raise RuntimeError("sharded tile binning capacity did not converge")
@@ -103,12 +106,13 @@ def render_sharded(renderer, commands, mesh: Mesh, axis: str = "y"):
     sub = _sub_renderer(renderer, renderer.width, band_height, platform)
 
     def run_once(scene_arrays, prepare, rasterize, cmd_i, cmd_f,
-                 desc_f, desc_i, transform):
+                 desc_f, desc_i, desc_static, transform):
         def per_band(band_index, transforms):
             adjusted = band_adjusted_transform(
                 transforms, band_index[0], num_bands
             )
-            prepared = prepare(*scene_arrays, adjusted)
+            prepared = prepare(*scene_arrays, adjusted,
+                               jnp.asarray(desc_static))
             image = rasterize(prepared, cmd_i, cmd_f, desc_f, desc_i)
             return image, prepared.overflow[None]
 
@@ -142,12 +146,13 @@ def render_sharded_2d(
     sub = _sub_renderer(renderer, sub_w, sub_h, platform)
 
     def run_once(scene_arrays, prepare, rasterize, cmd_i, cmd_f,
-                 desc_f, desc_i, transform):
+                 desc_f, desc_i, desc_static, transform):
         def per_rect(by, bx, transforms):
             adjusted = rect_adjusted_transform(
                 transforms, by[0], ny, bx[0], nx
             )
-            prepared = prepare(*scene_arrays, adjusted)
+            prepared = prepare(*scene_arrays, adjusted,
+                               jnp.asarray(desc_static))
             image = rasterize(prepared, cmd_i, cmd_f, desc_f, desc_i)
             return image, prepared.overflow[None, None]
 

@@ -36,7 +36,7 @@ import numpy as np
 
 from . import dynamic_stroke as ds
 from . import native
-from .convex_hull import andrew
+from .convex_hull import andrew, outer_polygon
 from .error import (
     ClipStackOverflow,
     DynamicStrokeOptionsIndexOutOfBounds,
@@ -232,10 +232,15 @@ class Shape:
         # flowing silently into binning.
         require_finite(self.triangles.xy, "path coordinates")
         require_finite(self.triangles.aux, "curve weights")
-        self.convex_hull = andrew(
-            np.asarray(proto_hull).reshape(-1, 2)
-            if proto_hull
-            else np.zeros((0, 2))
+        # Cover region: the convex hull, decimated to a bounded-size
+        # outer polygon (cover cost per boundary tile is linear in hull
+        # edge count; a superset region renders identically).
+        self.convex_hull = outer_polygon(
+            andrew(
+                np.asarray(proto_hull).reshape(-1, 2)
+                if proto_hull
+                else np.zeros((0, 2))
+            )
         )
         self.dynamic_stroke_options = list(dynamic_stroke_options)
         self.descriptors = ds.StrokeDescriptorTable.from_options(
@@ -330,6 +335,7 @@ class Renderer:
         tile_capacity: int = 256,
         interpret=None,
         strict_capacity: bool = True,
+        fill_batch: int = 2,
     ):
         self.config = config
         self.width = int(width)
@@ -338,8 +344,10 @@ class Renderer:
         self.tile_h = max(8, min(int(tile_size), 32))
         self.tile_w = 128
         self.tile_capacity = int(tile_capacity)
+        self.fill_batch = int(fill_batch)
         self._global_capacity = 1024
         self._tile_global_capacity = 128
+        self._clip_pool = 64
         self._interpret = interpret
         #: strict_capacity=True synchronizes on the binning overflow
         #: counters whenever transforms change, guaranteeing no dropped
@@ -348,7 +356,8 @@ class Renderer:
         #: show one under-populated frame before capacities regrow —
         #: the right trade for interactive camera motion.
         self.strict_capacity = bool(strict_capacity)
-        self._pending_overflow = None
+        self._pending_overflow = []
+        self._frame_index = 0
         self._executors = {}
         self._scene_cache = {}
         self._prepared_cache = {}
@@ -422,6 +431,8 @@ class Renderer:
             capacity=self.tile_capacity,
             global_capacity=self._global_capacity,
             tile_global_capacity=self._tile_global_capacity,
+            clip_pool=self._clip_pool,
+            fill_batch=self.fill_batch,
             interpret=self._interpret_flag(),
         )
 
@@ -481,6 +492,9 @@ class Renderer:
         if overflow[2] > limits[2]:
             self._tile_global_capacity = _next_pow2(int(overflow[2]))
             grew = True
+        if overflow[3] > limits[3]:
+            self._clip_pool = _next_pow2(int(overflow[3]))
+            grew = True
         return grew
 
     # ------------------------------------------------------------------
@@ -507,10 +521,25 @@ class Renderer:
         it.
         """
         self._validate(commands)
-        if self._pending_overflow is not None:
-            overflow_arr, limits = self._pending_overflow
-            self._pending_overflow = None
-            if self._grow_capacities(np.asarray(overflow_arr), limits):
+        self._frame_index += 1
+        if self._pending_overflow:
+            # Deferred capacity checks: consume counters whose D2H copy
+            # already landed without blocking — a forced sync per frame
+            # costs a full round trip on remote-TPU links.  A counter
+            # two frames old is force-synced (by then the async copy has
+            # landed anyway), so capacity growth lags at most 2 frames.
+            grew = False
+            keep = []
+            for overflow_arr, limits, born in self._pending_overflow:
+                ready = getattr(overflow_arr, "is_ready", lambda: True)()
+                if ready or self._frame_index - born >= 2:
+                    grew |= self._grow_capacities(
+                        np.asarray(overflow_arr), limits
+                    )
+                else:
+                    keep.append((overflow_arr, limits, born))
+            self._pending_overflow = keep
+            if grew:
                 self._prepared_cache.clear()
         shapes, shape_index = self._unique_shapes(commands)
         scene_key, scene = self._scene_arrays(shapes)
@@ -520,20 +549,31 @@ class Renderer:
             [np.asarray(c.transform, np.float32) for c in commands]
         )
         require_finite(transforms, "command transforms")
+        desc_f, desc_i = self._pack_descriptors(shapes)
+        # Dash statics (dashed flag, interval count) route stroke
+        # entries to specialized kernel bodies at binning time; phase
+        # and gap animation stay runtime inputs of the raster stage.
+        desc_static = np.ascontiguousarray(desc_i[:, [9, 8]])
 
         for _attempt in range(4):
             spec = self._spec(ops, cmd_shape, scene)
             prepare, rasterize = self._get_executors(spec)
-            pkey = (spec, scene_key, transforms.tobytes())
+            pkey = (
+                spec, scene_key, transforms.tobytes(), desc_static.tobytes()
+            )
             cached = self._prepared_cache.get(pkey)
             if cached is not None:
                 prepared, self.stats = cached
             else:
-                prepared = prepare(*scene.arrays, jnp.asarray(transforms))
+                prepared = prepare(
+                    *scene.arrays, jnp.asarray(transforms),
+                    jnp.asarray(desc_static),
+                )
                 limits = (
                     spec.capacity,
                     spec.global_capacity,
                     spec.tile_global_capacity,
+                    spec.clip_pool,
                 )
                 stats = {
                     "commands": len(commands),
@@ -547,6 +587,7 @@ class Renderer:
                         max_tile_entries=int(overflow[0]),
                         global_triangles=int(overflow[1]),
                         max_tile_globals=int(overflow[2]),
+                        near_plane_crossings=int(overflow[3]),
                     )
                     self.stats = stats
                     logger.debug("prepare: %s", self.stats)
@@ -559,7 +600,9 @@ class Renderer:
                         prepared.overflow.copy_to_host_async()
                     except AttributeError:
                         pass
-                    self._pending_overflow = (prepared.overflow, limits)
+                    self._pending_overflow.append(
+                        (prepared.overflow, limits, self._frame_index)
+                    )
                     self.stats = stats
                 if len(self._prepared_cache) >= 8:
                     self._prepared_cache.pop(next(iter(self._prepared_cache)))
@@ -569,7 +612,6 @@ class Renderer:
             raise RuntimeError("tile binning capacity did not converge")
 
         cmd_i, cmd_f = self._pack_commands_runtime(commands)
-        desc_f, desc_i = self._pack_descriptors(shapes)
         image = rasterize(prepared, cmd_i, cmd_f, desc_f, desc_i)
         if as_uint8:
             if background is not None:

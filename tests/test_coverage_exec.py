@@ -57,9 +57,11 @@ class TestCapacityGrowth:
 
 class TestDeferredCapacity:
     def test_deferred_growth_converges_next_frame(self):
-        # strict_capacity=False defers the overflow check one frame:
-        # the first over-capacity frame may drop triangles, the next
-        # render grows the buffers and is correct.
+        # strict_capacity=False defers the overflow check: the first
+        # over-capacity frames may drop triangles; within two frames the
+        # deferred counter is consumed, the buffers grow, and rendering
+        # is correct (the check is non-blocking so a remote-device link
+        # costs no per-frame round trip).
         renderer = Renderer(
             Configuration(), SIZE, SIZE, tile_capacity=8,
             strict_capacity=False,
@@ -69,7 +71,9 @@ class TestDeferredCapacity:
         for s in shapes:
             commands += stencil_color(s, ortho(), (1.0, 0.0, 0.0, 1.0))
         renderer.render(commands)          # may drop (capacity 8)
-        image = renderer.render(commands)  # grown by the deferred check
+        image = renderer.render(commands)
+        if renderer.tile_capacity <= 8:    # counter not landed yet
+            image = renderer.render(commands)  # two-frame bound
         assert renderer.tile_capacity > 8
         assert np.allclose(image[32, 32], [1, 0, 0, 1], atol=1e-5)
         assert np.allclose(image[32, 32 - 26], [1, 0, 0, 1], atol=1e-5)

@@ -199,3 +199,38 @@ class TestRoundedRect:
         if orient == "reverse":
             p.reverse()
         check_fill([p])
+
+
+class TestOuterPolygon:
+    def test_containment_and_area_bound(self):
+        """The decimated cover polygon contains the hull with bounded
+        area overshoot (cover regions may be supersets — painting is
+        winding-gated)."""
+        from contrast_renderer_tpu.convex_hull import andrew, outer_polygon
+
+        rng = np.random.default_rng(0)
+
+        def area(p):
+            x, y = p[:, 0], p[:, 1]
+            return 0.5 * abs(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+
+        for _ in range(50):
+            pts = rng.normal(size=(50, 2)) * rng.uniform(0.1, 100)
+            hull = andrew(pts)
+            poly = outer_polygon(hull, 16)
+            assert len(poly) <= 16
+            n = len(poly)
+            for j in range(n):
+                a, b = poly[j], poly[(j + 1) % n]
+                e = (b[0] - a[0]) * (hull[:, 1] - a[1]) - (
+                    b[1] - a[1]
+                ) * (hull[:, 0] - a[0])
+                assert (e >= -1e-6 * max(1, np.abs(poly).max())).all()
+            if len(hull) >= 3 and area(hull) > 1e-9:
+                assert area(poly) <= area(hull) * 1.30
+
+    def test_small_hulls_unchanged(self):
+        from contrast_renderer_tpu.convex_hull import outer_polygon
+
+        tri = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
+        assert np.array_equal(outer_polygon(tri, 16), tri)

@@ -228,3 +228,113 @@ class TestDashAnimation:
         assert (np.abs(image0[..., 3] - image1[..., 3]) > 0.5).sum() > 50
         # Only one executor signature was (re)used for both frames.
         assert len(renderer._executors) - before <= 1
+
+
+class TestNearPlaneClipping:
+    def test_stencil_triangles_crossing_near_plane_keep_visible_part(self):
+        """A filled rect straddling w = 0 renders its visible half.
+
+        The reference relies on GPU hardware near-plane clipping; here
+        `prepare` Sutherland-Hodgman-clips crossing stencil triangles
+        (cover hulls were already clipped).  Both fan triangles of this
+        rect cross the plane, so the pre-clip behavior rendered nothing.
+        """
+        renderer = Renderer(Configuration(), SIZE, SIZE)
+        rect = Shape([Path.from_rect((0.0, 0.0), (0.8, 2.0))])
+        # clip = (x, y, 0, y + 0.5): vertices at y = -2 are behind the
+        # camera, vertices at y = +2 in front.
+        transform = np.array(
+            [
+                [1.0, 0.0, 0.0, 0.0],
+                [0.0, 1.0, 0.0, 0.0],
+                [0.0, 0.0, 0.0, 0.0],
+                [0.0, 1.0, 0.0, 0.5],
+            ],
+            np.float32,
+        )
+        image = renderer.render(
+            stencil_color(rect, transform, (1.0, 1.0, 1.0, 1.0))
+        )
+        assert np.isfinite(image).all()
+        # ndc (0, 0) maps to model (0, 0, w=0.5): inside, in front.
+        assert image[SIZE // 2, SIZE // 2, 3] == 1.0
+        # ndc (0, -0.9) maps to model y ~ -0.237, w ~ 0.26: covered.
+        assert image[int(0.95 * SIZE / 2 * 2) - 2, SIZE // 2, 3] == 1.0
+        # ndc (0, +0.9) needs model y = 4.5: outside the rect.
+        assert image[3, SIZE // 2, 3] == 0.0
+        # The stats counter reports the crossings.
+        assert renderer.stats["near_plane_crossings"] == 2
+
+    def test_fully_behind_is_culled(self):
+        renderer = Renderer(Configuration(), SIZE, SIZE)
+        rect = Shape([Path.from_rect((0.0, 0.0), (1.0, 1.0))])
+        transform = np.array(
+            [
+                [1.0, 0.0, 0.0, 0.0],
+                [0.0, 1.0, 0.0, 0.0],
+                [0.0, 0.0, 0.0, 0.0],
+                [0.0, 0.0, 0.0, -1.0],
+            ],
+            np.float32,
+        )
+        image = renderer.render(
+            stencil_color(rect, transform, (1.0, 1.0, 1.0, 1.0))
+        )
+        assert (image == 0.0).all()
+
+
+class TestClipAlphaInterplay:
+    def test_opacity_group_inside_clip(self):
+        """Opacity-group save/scale/restore nested inside a clip region
+        (the reference's stencil x alpha interplay, renderer.rs:756-861):
+        group content must dim only where the clip admits it."""
+        renderer = Renderer(
+            Configuration(alpha_layer_count=1, blending="front_to_back"),
+            SIZE,
+            SIZE,
+        )
+        # Clip: left half of the screen.
+        clip_rect = Shape([Path.from_rect((16, 32), (16, 32))])
+        content = Shape([Path.from_rect((32, 32), (28, 8))])
+        cover_all = Shape([Path.from_rect((32, 32), (32, 32))])
+        g = 0.25
+        commands = [
+            DrawCommand(RenderOperation.STENCIL, clip_rect, ortho()),
+            DrawCommand(RenderOperation.CLIP, clip_rect, ortho(), clip_depth=1),
+            DrawCommand(
+                RenderOperation.SAVE_ALPHA_CONTEXT, cover_all, ortho(),
+                alpha_layer=0, clip_depth=1,
+            ),
+            DrawCommand(
+                RenderOperation.SCALE_ALPHA_CONTEXT, cover_all, ortho(),
+                color=(0, 0, 0, g), clip_depth=1,
+            ),
+            DrawCommand(
+                RenderOperation.STENCIL, content, ortho(), clip_depth=1
+            ),
+            DrawCommand(
+                RenderOperation.COLOR, content, ortho(),
+                color=(1.0, 0.0, 0.0, 1.0), clip_depth=1,
+            ),
+            DrawCommand(
+                RenderOperation.RESTORE_ALPHA_CONTEXT, cover_all, ortho(),
+                color=(0, 0, 0, g), alpha_layer=0, clip_depth=1,
+            ),
+            DrawCommand(
+                RenderOperation.UNCLIP, clip_rect, ortho(), clip_depth=0
+            ),
+            # Backdrop behind everything, full green.
+            *stencil_color(cover_all, ortho(), (0.0, 1.0, 0.0, 1.0)),
+        ]
+        image = renderer.render(commands)
+        # Inside clip & content: red at opacity g over green.
+        assert np.allclose(image[32, 10], [g, 1 - g, 0, 1], atol=1e-4), (
+            image[32, 10]
+        )
+        # Outside the clip but inside content's hull: pure green (the
+        # clip must gate the group content AND the alpha covers).
+        assert np.allclose(image[32, 50], [0, 1, 0, 1], atol=1e-4), (
+            image[32, 50]
+        )
+        # Inside clip, outside content: pure green.
+        assert np.allclose(image[10, 10], [0, 1, 0, 1], atol=1e-4)
