@@ -220,6 +220,7 @@ class PreparedFrame(NamedTuple):
     g_off: jnp.ndarray    # (n_tiles, 1, 5C+1)
     bulk: jnp.ndarray     # (n_tiles, 1, C) trivially-accepted solid winding
     cls: jnp.ndarray      # (n_tiles, 1, C) cover class 0/1/2
+    hbits: jnp.ndarray    # (n_tiles, 1, C) crossing hull-line bitmask
     aclist: jnp.ndarray   # (n_tiles, 1, C) active command indices
     acount: jnp.ndarray   # (n_tiles, 1, 1)
     hull_lines: jnp.ndarray  # (C, Hm, 4) inward-oriented pixel lines
@@ -723,6 +724,13 @@ def make_prepare(spec: FrameSpec):
         )
         h_reject = jnp.zeros((Cc, nty, ntx), bool)
         h_accept = jnp.ones((Cc, nty, ntx), bool)
+        # Per-(tile, cover) bitmask of hull lines actually crossing the
+        # tile: boundary tiles evaluate only those lines in the kernel
+        # (typically 1-4 of up to 18 after hull decimation).  Lines the
+        # tile is fully inside of are skipped; lines the tile is fully
+        # outside of reject the whole tile (cls 0).
+        h_bits = jnp.zeros((Cc, nty, ntx), i32)
+        assert H2 <= 31, "hull-line bitmask needs a single i32 word"
         for h_index in range(H2):
             a = ha[:, h_index][:, None, None]
             b = hb[:, h_index][:, None, None]
@@ -732,6 +740,7 @@ def make_prepare(spec: FrameSpec):
             )
             h_reject = h_reject | (hi < 0.0)
             h_accept = h_accept & (lo > 0.0)
+            h_bits = h_bits | jnp.where(lo > 0.0, 0, 1 << h_index)
         h_over = hovy[:, :, None] & hovx[:, None, :] & hvalid[:, None, None]
         cls_cov = jnp.where(
             h_over,
@@ -740,6 +749,9 @@ def make_prepare(spec: FrameSpec):
         ).astype(i32)
         cls = jnp.zeros((n_tiles, C), i32).at[:, cov_idx].set(
             cls_cov.transpose(1, 2, 0).reshape(n_tiles, Cc)
+        )
+        hbits = jnp.zeros((n_tiles, C), i32).at[:, cov_idx].set(
+            h_bits.transpose(1, 2, 0).reshape(n_tiles, Cc)
         )
 
         # ---- active command list ---------------------------------------
@@ -779,6 +791,7 @@ def make_prepare(spec: FrameSpec):
             g_off=g_off[:, None, :],
             bulk=bulk[:, None, :],
             cls=cls[:, None, :],
+            hbits=hbits[:, None, :],
             aclist=aclist[:, None, :],
             acount=acount[:, None, None],
             hull_lines=hull_lines,
@@ -921,7 +934,7 @@ def make_rasterize(spec: FrameSpec):
     front_to_back = spec.blending == "front_to_back"
 
     def kernel(
-        cmd_i, cmd_f, acount, aclist, off, g_off, bulk, cls, glist,
+        cmd_i, cmd_f, acount, aclist, off, g_off, bulk, cls, hbits, glist,
         tri_f, tri_i, g_rows_f, g_rows_i, hull_lines, desc_f, desc_i,
         out_ref, wind, clipb, colorb, layerb, maskb,
     ):
@@ -1212,15 +1225,22 @@ def make_rasterize(spec: FrameSpec):
 
                     @pl.when(cl == 1)
                     def _boundary():
-                        acc = jnp.zeros((S, th, tw), jnp.int32) == 0
+                        # Only the hull lines that actually cross this
+                        # tile (prepare's bitmask) are evaluated; padded
+                        # and non-crossing lines are skipped.
+                        bits = hbits[0, 0, c]
+                        maskb[...] = jnp.ones((S, th, tw), jnp.int32)
                         for h_index in range(Hm):
-                            he = (
-                                hull_lines[c, h_index, 0] * px
-                                + hull_lines[c, h_index, 1] * py
-                                + hull_lines[c, h_index, 2]
-                            )
-                            acc = acc & (he >= 0.0)
-                        maskb[...] = acc.astype(jnp.int32)
+                            @pl.when(((bits >> h_index) & 1) != 0)
+                            def _line(h_index=h_index):
+                                he = (
+                                    hull_lines[c, h_index, 0] * px
+                                    + hull_lines[c, h_index, 1] * py
+                                    + hull_lines[c, h_index, 2]
+                                )
+                                maskb[...] = maskb[...] & (
+                                    he >= 0.0
+                                ).astype(jnp.int32)
 
                     in_hull = maskb[...] != 0
                     nonzero = (wind[...] & winding_mask) != 0
@@ -1322,6 +1342,8 @@ def make_rasterize(spec: FrameSpec):
                      memory_space=pltpu.SMEM),                       # bulk
         pl.BlockSpec((1, 1, C), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),                       # cls
+        pl.BlockSpec((1, 1, C), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),                       # hbits
         pl.BlockSpec((1, 1, Kg + NB), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),                       # glist
         pl.BlockSpec((1, K + NB, D_F), lambda i: (i, 0, 0),
@@ -1355,7 +1377,7 @@ def make_rasterize(spec: FrameSpec):
         tiles = raster_call(
             cmd_i, cmd_f,
             prepared.acount, prepared.aclist, prepared.off, prepared.g_off,
-            prepared.bulk, prepared.cls, prepared.glist,
+            prepared.bulk, prepared.cls, prepared.hbits, prepared.glist,
             prepared.tri_f, prepared.tri_i,
             prepared.g_rows_f, prepared.g_rows_i,
             prepared.hull_lines, desc_f, desc_i,
