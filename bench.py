@@ -44,8 +44,10 @@ def main():
     # frame of latency on buffer growth instead of a sync per frame).
     renderer = Renderer(
         Configuration(), width, height, strict_capacity=not orbit,
-        tile_size=int(os.environ.get("BENCH_TILE_H", "32")),
-        fill_batch=int(os.environ.get("BENCH_FILL_BATCH", "2")),
+        tile_size=(int(os.environ["BENCH_TILE_H"])
+                   if os.environ.get("BENCH_TILE_H") else None),
+        fill_batch=(int(os.environ["BENCH_FILL_BATCH"])
+                    if os.environ.get("BENCH_FILL_BATCH") else None),
     )
     shape = showcase.build_shape(with_text=with_text)
     if on_accelerator:

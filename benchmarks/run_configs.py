@@ -104,7 +104,9 @@ def config2(frames):
     t0 = time.perf_counter()
     shape = Shape(paths)
     build_s = time.perf_counter() - t0
-    renderer = Renderer(Configuration(), width, height, tile_size=int(os.environ.get("BENCH_TILE_H", "32")), fill_batch=int(os.environ.get("BENCH_FILL_BATCH", "2")))
+    renderer = Renderer(Configuration(), width, height, tile_size=(int(os.environ["BENCH_TILE_H"])
+                    if os.environ.get("BENCH_TILE_H") else None), fill_batch=(int(os.environ["BENCH_FILL_BATCH"])
+                    if os.environ.get("BENCH_FILL_BATCH") else None))
     t = ortho_wh(width, height)
     commands = [
         DrawCommand(RenderOperation.STENCIL, shape, t),
@@ -169,7 +171,9 @@ def config3(frames):
         paths.append(p)
     options = [dashed(j, 0.0) for j in joins]
     shape = Shape(paths, options)
-    renderer = Renderer(Configuration(), width, height, tile_size=int(os.environ.get("BENCH_TILE_H", "32")), fill_batch=int(os.environ.get("BENCH_FILL_BATCH", "2")))
+    renderer = Renderer(Configuration(), width, height, tile_size=(int(os.environ["BENCH_TILE_H"])
+                    if os.environ.get("BENCH_TILE_H") else None), fill_batch=(int(os.environ["BENCH_FILL_BATCH"])
+                    if os.environ.get("BENCH_FILL_BATCH") else None))
     t = ortho_wh(width, height)
     commands = [
         DrawCommand(RenderOperation.STENCIL, shape, t),
@@ -223,7 +227,9 @@ def config4(frames):
     build_py_s = time.perf_counter() - t0
     assert len(shape_py.triangles) == len(shape.triangles)
 
-    renderer = Renderer(Configuration(), width, height, tile_size=int(os.environ.get("BENCH_TILE_H", "32")), fill_batch=int(os.environ.get("BENCH_FILL_BATCH", "2")))
+    renderer = Renderer(Configuration(), width, height, tile_size=(int(os.environ["BENCH_TILE_H"])
+                    if os.environ.get("BENCH_TILE_H") else None), fill_batch=(int(os.environ["BENCH_FILL_BATCH"])
+                    if os.environ.get("BENCH_FILL_BATCH") else None))
     # Glyph box is ~[0, 850]x[-200, 1370]; map onto the viewport.
     t = np.diag(
         [2.0 / 1800.0, 2.0 / 1500.0, 1.0, 1.0]
@@ -258,7 +264,9 @@ def config5(frames):
     from contrast_renderer_tpu.renderer import Configuration, Renderer
 
     width, height = 3840, 2160
-    renderer = Renderer(Configuration(), width, height, tile_size=int(os.environ.get("BENCH_TILE_H", "32")), fill_batch=int(os.environ.get("BENCH_FILL_BATCH", "2")))
+    renderer = Renderer(Configuration(), width, height, tile_size=(int(os.environ["BENCH_TILE_H"])
+                    if os.environ.get("BENCH_TILE_H") else None), fill_batch=(int(os.environ["BENCH_FILL_BATCH"])
+                    if os.environ.get("BENCH_FILL_BATCH") else None))
     shape = showcase.build_shape(with_text=True)
     commands = showcase.showcase_commands(shape, width, height)
 

@@ -50,7 +50,10 @@ def _sub_renderer(renderer, width, height, platform):
         renderer.config,
         width,
         height,
-        tile_size=min(renderer.tile_h, height),
+        tile_size=(
+            None if renderer.tile_h is None
+            else min(renderer.tile_h, height)
+        ),
         tile_capacity=renderer.tile_capacity,
         interpret=(platform == "cpu"),
     )
