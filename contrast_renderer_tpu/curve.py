@@ -431,3 +431,31 @@ def rational_cubic_uniform_tangent_angle(power_basis, angle_step: float) -> List
     return _cubic_uniform_tangent_angle(
         pb, angle_step, discriminant, roots, planes_of_trimmed, solve_with_planes
     )
+
+
+def uniform_arc_length_parameters(
+    power_basis, point_fn, step: float, oversample: int = 128
+) -> List[float]:
+    """Parameters splitting a curve into spans of ~equal arc length
+    `step` (model units).
+
+    The reference declares this approximation but leaves it
+    unimplemented (path.rs:162-166, commented out); delivered here.  A
+    dense uniform parameter sampling builds the cumulative chord-length
+    table, which is inverted by linear interpolation.  Includes the end
+    parameter 1.0 but not 0.0 (matching the tangent-angle generators).
+    """
+    if step <= 0.0:
+        raise ValueError("arc-length step must be positive")
+    ts = np.linspace(0.0, 1.0, int(oversample) + 1)
+    pts = ga2d.point_to_vec(point_fn(power_basis, ts))
+    seg = np.linalg.norm(np.diff(pts, axis=0), axis=1)
+    cum = np.concatenate([[0.0], np.cumsum(seg)])
+    total = float(cum[-1])
+    if total <= step:
+        return [1.0]
+    n = max(1, int(round(total / step)))
+    targets = np.arange(1, n + 1) * (total / n)
+    params = np.interp(targets, cum, ts)
+    params[-1] = 1.0
+    return [float(t) for t in params]

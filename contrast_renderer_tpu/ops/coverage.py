@@ -332,6 +332,10 @@ def make_prepare(spec: FrameSpec):
         denom = jnp.where(wb - wa != 0.0, wb - wa, 1.0)
         t_cross = (w_eps - wa) / denom
         inter = attr + t_cross[..., None] * (nxt - attr)
+        # Pin the intersection w to exactly eps: the lerp's rounding can
+        # land slightly negative for large |w| endpoints, which would
+        # cull the whole sub-triangle downstream.
+        inter = inter.at[..., 3].set(w_eps)
         out_v = jnp.stack([attr, inter], axis=2).reshape(E, 6, 8)
         out_ok = jnp.stack([a_in, a_in != b_in], axis=2).reshape(E, 6)
         rank = jnp.cumsum(out_ok.astype(i32), axis=1) - 1

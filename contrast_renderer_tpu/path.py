@@ -178,13 +178,19 @@ class CurveApproximation:
     """Parametric sampling strategy for stroking curves
     (reference path.rs:151-167)."""
 
-    kind: str  # "uniform_parameters" | "uniform_tangent_angle"
+    kind: str  # "uniform_parameters" | "uniform_tangent_angle" | "uniform_arc_length"
     value: float
 
     @classmethod
     def uniformly_spaced_parameters(cls, n: int):
         """Step size 1/n → n+1 parameters including start and end."""
         return cls("uniform_parameters", int(n))
+
+    @classmethod
+    def uniform_arc_length(cls, step: float):
+        """Sample spacing in model-space arc length (the approximation
+        the reference plans but does not implement, path.rs:162-166)."""
+        return cls("uniform_arc_length", float(step))
 
     @classmethod
     def uniform_tangent_angle(cls, angle: float):

@@ -44,6 +44,7 @@ from .curve import (
     rational_quadratic_first_order_derivative,
     rational_quadratic_point,
     rational_quadratic_uniform_tangent_angle,
+    uniform_arc_length_parameters,
 )
 from .error import ERROR_MARGIN
 from .path import Path, SegmentType
@@ -338,6 +339,10 @@ class StrokeBuilder:
                 if approx.kind == "uniform_parameters":
                     n = int(approx.value)
                     parameters = [(i + 1) / n for i in range(n)]
+                elif approx.kind == "uniform_arc_length":
+                    parameters = uniform_arc_length_parameters(
+                        pb, rational_quadratic_point, approx.value
+                    )
                 elif segment_type is SegmentType.INTEGRAL_QUADRATIC_CURVE:
                     parameters = integral_quadratic_uniform_tangent_angle(
                         pb, start_tangent, end_tangent, approx.value
@@ -365,6 +370,10 @@ class StrokeBuilder:
                 if approx.kind == "uniform_parameters":
                     n = int(approx.value)
                     parameters = [(i + 1) / n for i in range(n)]
+                elif approx.kind == "uniform_arc_length":
+                    parameters = uniform_arc_length_parameters(
+                        pb, rational_cubic_point, approx.value
+                    )
                 elif segment_type is SegmentType.INTEGRAL_CUBIC_CURVE:
                     parameters = integral_cubic_uniform_tangent_angle(pb, approx.value)
                 else:

@@ -277,3 +277,75 @@ class TestUniformTangentAngle:
         pb = curve.rational_cubic_control_points_to_power_basis(control)
         params = curve.integral_cubic_uniform_tangent_angle(pb, 0.1)
         assert params[-1] == 1.0
+
+
+class TestUniformArcLength:
+    def test_quarter_circle_spacing(self):
+        """Samples of a rational-quadratic quarter circle are evenly
+        spaced in arc length (the approximation the reference plans at
+        path.rs:162-166)."""
+        from contrast_renderer_tpu.curve import (
+            rational_quadratic_control_points_to_power_basis,
+            rational_quadratic_point,
+            uniform_arc_length_parameters,
+        )
+        from contrast_renderer_tpu.utils import ga2d
+
+        w = 1.0 / math.sqrt(2.0)
+        cps = np.stack([
+            ga2d.vec_to_point((1.0, 0.0)),
+            ga2d.weighted_vec_to_point(w, (1.0, 1.0)),
+            ga2d.vec_to_point((0.0, 1.0)),
+        ])
+        pb = rational_quadratic_control_points_to_power_basis(cps)
+        step = 0.1
+        params = uniform_arc_length_parameters(pb, rational_quadratic_point, step)
+        assert params[-1] == 1.0
+        pts = [np.array([1.0, 0.0])]
+        pts += [
+            ga2d.point_to_vec(rational_quadratic_point(pb, t)) for t in params
+        ]
+        dists = [np.linalg.norm(b - a) for a, b in zip(pts, pts[1:])]
+        arc = math.pi / 2
+        n = len(params)
+        assert abs(n - round(arc / step)) <= 1
+        # Chord lengths all within 5% of each other.
+        assert max(dists) / min(dists) < 1.05
+        # All samples on the unit circle.
+        for p in pts:
+            assert abs(np.linalg.norm(p) - 1.0) < 1e-3
+
+    def test_short_curve_single_parameter(self):
+        from contrast_renderer_tpu.curve import (
+            rational_quadratic_control_points_to_power_basis,
+            rational_quadratic_point,
+            uniform_arc_length_parameters,
+        )
+        from contrast_renderer_tpu.utils import ga2d
+
+        cps = np.stack([
+            ga2d.vec_to_point((0.0, 0.0)),
+            ga2d.vec_to_point((0.1, 0.1)),
+            ga2d.vec_to_point((0.2, 0.0)),
+        ])
+        pb = rational_quadratic_control_points_to_power_basis(cps)
+        assert uniform_arc_length_parameters(
+            pb, rational_quadratic_point, 10.0
+        ) == [1.0]
+
+    def test_stroke_builder_accepts_arc_length(self):
+        from contrast_renderer_tpu.path import (
+            CurveApproximation, Path, StrokeOptions)
+        from contrast_renderer_tpu.stroke import StrokeBuilder
+
+        p = Path.from_circle((0.0, 0.0), 5.0)
+        p.stroke_options = StrokeOptions(
+            width=0.5,
+            closed=True,
+            curve_approximation=CurveApproximation.uniform_arc_length(0.5),
+        )
+        b = StrokeBuilder()
+        hull = []
+        b.add_path(hull, p)
+        t = b.build()
+        assert len(t) > 40  # circumference ~31.4 / 0.5 step -> ~63 samples
