@@ -24,12 +24,22 @@ from contrast_renderer_tpu.renderer import Configuration, Renderer
 
 
 def timeit(fn, *args, n=20, **kw):
-    out = fn(*args, **kw)
-    jax.block_until_ready(out)
+    """Times fn with every call forced to completion through a scalar
+    checksum chain fetched once (a bare block_until_ready can
+    under-report on asynchronous remote backends)."""
+    import jax.numpy as jnp
+
+    def head(out):
+        x = jax.tree_util.tree_leaves(out)[0]
+        return jnp.sum(x).astype(jnp.float32)
+
+    acc = head(fn(*args, **kw))
+    float(acc)
     start = time.perf_counter()
+    acc = jnp.float32(0.0)
     for _ in range(n):
-        out = fn(*args, **kw)
-    jax.block_until_ready(out)
+        acc = acc + head(fn(*args, **kw))
+    float(acc)
     return (time.perf_counter() - start) / n * 1e3
 
 
@@ -63,7 +73,10 @@ def main():
     prep_ms = timeit(prepare, *scene.arrays, tfs, desc_static)
     prepared = prepare(*scene.arrays, tfs, desc_static)
     jax.block_until_ready(prepared)
-    rast_ms = timeit(rasterize, prepared, cmd_i, cmd_f, desc_f, desc_i)
+    cmd_i_d, cmd_f_d = jax.device_put(cmd_i), jax.device_put(cmd_f)
+    desc_f_d, desc_i_d = jax.device_put(desc_f), jax.device_put(desc_i)
+    rast_ms = timeit(rasterize, prepared, cmd_i_d, cmd_f_d,
+                     desc_f_d, desc_i_d)
 
     # Host-side per-frame work under camera motion: rebuild commands,
     # validate, pack, key the cache (prepare/rasterize mocked out).

@@ -18,16 +18,27 @@ import numpy as np  # noqa: E402
 
 
 def _timed_frames(frame, n):
-    """Device-side frame throughput: frames dispatched back-to-back,
-    device drained once (see bench.py — host readback of f32 frames
-    over the remote-TPU link is not part of a frame)."""
-    image = frame(0)  # compile
-    image.block_until_ready()
-    start = time.perf_counter()
-    for i in range(n):
-        image = frame(i + 1)
-    image.block_until_ready()
-    return n / (time.perf_counter() - start)
+    """Device-side frame throughput: frames dispatched back-to-back and
+    every frame forced to completion through a per-frame device
+    checksum fetched once at the end (see bench.py — on asynchronous
+    remote backends a bare block_until_ready can under-report; host
+    readback of f32 frames over the remote-TPU link is not part of a
+    frame)."""
+    import jax
+    import jax.numpy as jnp
+
+    probe = jax.jit(lambda x: jnp.sum(x[..., 3]))
+    acc = probe(frame(0)) + probe(frame(1))  # compile frame + probe
+    float(acc)
+    best = 0.0
+    for b in range(3):  # best sustained batch (see bench.py)
+        start = time.perf_counter()
+        acc = jnp.float32(0.0)
+        for i in range(n):
+            acc = acc + probe(frame(b * n + i + 1))
+        assert np.isfinite(float(acc))  # forces the whole chain
+        best = max(best, n / (time.perf_counter() - start))
+    return best
 
 
 def ortho_wh(width, height):

@@ -189,7 +189,14 @@ class FrameSpec:
     slots_x: int = 2
     slots_y: int = 2
     fill_batch: int = NB            # fill entries evaluated per step
+    stroke_batch: int = 1           # stroke entries evaluated per step
     interpret: bool = False
+
+    @property
+    def entry_pad(self):
+        """Row padding past the capacity so batched `pl.ds` slices of
+        width fill_batch / stroke_batch stay in bounds."""
+        return max(self.fill_batch, self.stroke_batch)
 
     @property
     def n_commands(self):
@@ -264,6 +271,7 @@ def make_prepare(spec: FrameSpec):
     G = spec.global_capacity
     Kg = spec.tile_global_capacity
     NB = spec.fill_batch
+    PAD = spec.entry_pad
     mx, my = spec.slots_x, spec.slots_y
     M = mx * my
 
@@ -554,7 +562,7 @@ def make_prepare(spec: FrameSpec):
             side="left",
         ).astype(i32)
 
-        kk = jnp.arange(K + NB, dtype=i32)
+        kk = jnp.arange(K + PAD, dtype=i32)
         gidx = jnp.clip(tile_begin[:, None] + kk[None, :], 0, skey.shape[0] - 1)
         slot_valid = kk[None, :] < jnp.minimum(tile_count, K)[:, None]
         row_ids = jnp.where(slot_valid, srow[gidx], 0)
@@ -626,7 +634,7 @@ def make_prepare(spec: FrameSpec):
         )
         _gl_vals, gl_idx = jax.lax.top_k(gl_key, Kg)
         glist = jnp.concatenate(
-            [gl_idx.astype(i32), jnp.zeros((n_tiles, NB), i32)], axis=1
+            [gl_idx.astype(i32), jnp.zeros((n_tiles, PAD), i32)], axis=1
         )
         g_key2 = g_cmd * N_CLASSES + g_rows_i[:, RI_CLASS]
         key2_one_hot = (
@@ -931,17 +939,38 @@ def make_rasterize(spec: FrameSpec):
     Kg = spec.tile_global_capacity
     G = spec.global_capacity
     NB = spec.fill_batch
+    SBS = spec.stroke_batch
+    PAD = spec.entry_pad
     S = spec.samples
     L = max(1, spec.n_layers)
     winding_mask = (1 << spec.winding_bits) - 1
     offsets = SAMPLE_PATTERNS[S]
     front_to_back = spec.blending == "front_to_back"
+    # Static frame-program specialization: frames with no clip / alpha
+    # commands (the common case) skip the per-tile state zeroing and the
+    # per-command per-sample clip compare entirely.
+    ops_np = np.asarray(spec.ops, np.int32)
+    has_clip = bool(np.any((ops_np == OP_CLIP) | (ops_np == OP_UNCLIP)))
+    has_alpha = bool(
+        np.any(
+            (ops_np == OP_SAVE_ALPHA)
+            | (ops_np == OP_SCALE_ALPHA)
+            | (ops_np == OP_RESTORE_ALPHA)
+        )
+    )
 
     def kernel(
         cmd_i, cmd_f, acount, aclist, off, g_off, bulk, cls, hbits, glist,
         tri_f, tri_i, g_rows_f, g_rows_i, hull_lines, desc_f, desc_i,
-        out_ref, wind, clipb, colorb, layerb, maskb,
+        out_ref, *scratch,
     ):
+        wind, colorb, maskb = scratch[0], scratch[1], scratch[2]
+        extra = 3
+        if has_clip:
+            clipb = scratch[extra]
+            extra += 1
+        if has_alpha:
+            layerb = scratch[extra]
         t = pl.program_id(0)
         tile_x0 = (t % ntx).astype(jnp.float32) * tw
         tile_y0 = (t // ntx).astype(jnp.float32) * th
@@ -961,81 +990,166 @@ def make_rasterize(spec: FrameSpec):
         pxc = tile_x0 + col + 0.5
         pyc = tile_y0 + row + 0.5
 
-        wind[...] = jnp.zeros((S, th, tw), jnp.int32)
-        clipb[...] = jnp.zeros((S, th, tw), jnp.int32)
-        colorb[...] = jnp.zeros((4, S, th, tw), jnp.float32)
-        layerb[...] = jnp.zeros((L, S, th, tw), jnp.float32)
+        def process_stroke_batch(rf4, ri4, j0, hi, clip_ok, joint,
+                                 dash_mode):
+            """SBS stroke entries at once against the whole tile.
+            `joint` and `dash_mode` (0 solid / 1 single-interval /
+            2 general) are Python statics — the binning class routed the
+            entries here, so the body is branch-free (strip subdivision
+            was measured a net loss on v5e: 4K showcase 69→56 FPS;
+            whole-tile it is).
 
-        def process_stroke(rf, ri, clip_ok, joint, dash_mode):
-            """One stroke entry against the whole tile.  `joint` and
-            `dash_mode` (0 solid / 1 single-interval / 2 general) are
-            Python statics — the binning class routed the entry here, so
-            the body is branch-free (strip subdivision was measured a net
-            loss on v5e: 4K showcase 69→56 FPS; whole-tile it is)."""
-            flags = ri[RI_FLAGS]
-            grp = ri[RI_GROUP]
-            e0 = rf[0] * px + rf[1] * py + rf[2]
-            e1 = rf[3] * px + rf[4] * py + rf[5]
-            e2 = rf[6] * px + rf[7] * py + rf[8]
-            inside = (
-                ((e0 > 0.0) | ((e0 == 0.0) & ((flags & 1) != 0)))
-                & ((e1 > 0.0) | ((e1 == 0.0) & ((flags & 2) != 0)))
-                & ((e2 > 0.0) | ((e2 == 0.0) & ((flags & 4) != 0)))
-            )
-            invA = rf[RF_INV_AREA]
-            l0 = e0 * invA
-            l1 = e1 * invA
-            l2 = e2 * invA
+            The geometry/interpolation stage is vectorized over the
+            batch with (SBS, 1, 1) coefficient slices, eliminating the
+            ~30 scalar VMEM extracts per entry that dominated the
+            single-entry cost.  The edge functions and the interpolation
+            numerators / denominator are all linear in screen space, so
+            they are evaluated once at pixel centers and shifted to each
+            MSAA sample by per-entry scalars; only the perspective
+            divide and the cap/dash/joint predicates are inherently
+            per-sample (and those run per entry, keeping the scalar
+            cap-type dispatch).
+
+            Stroke stencil semantics are Equal-0 + IncrementWrap
+            (renderer.rs:571-576): a sample ends at winding 1 iff any
+            stroke entry of the command covers it — an OR across
+            entries — so the batch folds into one winding update per
+            sample."""
+
+            if SBS == 1:
+                # Mosaic cannot broadcast (1,1,1)→(1,th,tw) (sublanes
+                # and lanes at once), and scalar extracts measured
+                # faster than slice-broadcasts for short entry ranges —
+                # the single-entry path uses scalars with no batch axis.
+                def cf(idx):
+                    return rf4[0, idx]
+
+                def ci(idx):
+                    return ri4[0, idx]
+            else:
+                def cf(idx):
+                    return rf4[:, idx:idx + 1][:, :, None]
+
+                def ci(idx):
+                    return ri4[:, idx:idx + 1][:, :, None]
+
+            ea = [cf(0), cf(3), cf(6)]
+            eb = [cf(1), cf(4), cf(7)]
+            ecv = [cf(2), cf(5), cf(8)]
+            ec = [ea[k] * pxc + eb[k] * pyc + ecv[k] for k in range(3)]
+            invA = cf(RF_INV_AREA)
+            lc = [ec[k] * invA for k in range(3)]
             n_ch = 3 if joint else 2
-            ch = [
-                l0 * rf[RF_AW + c] + l1 * rf[RF_AW + 4 + c]
-                + l2 * rf[RF_AW + 8 + c]
-                for c in range(n_ch)
+            aw = [
+                [cf(RF_AW + 4 * k + cc) for k in range(3)]
+                for cc in range(n_ch)
             ]
-            iw = l0 * rf[RF_IW] + l1 * rf[RF_IW + 1] + l2 * rf[RF_IW + 2]
-            inv = 1.0 / jnp.where(iw != 0.0, iw, 1.0)
-            tex_x = ch[0] * inv
-            tex_y = ch[1] * inv
-            if joint:
-                tex_z = ch[2] * inv
-                radius = jnp.sqrt(tex_x * tex_x + tex_y * tex_y)
-                join = desc_i[grp, 10]
-                is_tip = (flags & FLAG_JOINT_TIP) != 0
-                is_bevel = join == int(Join.BEVEL)
-                is_round = join == int(Join.ROUND)
-                # Boolean algebra (no i1-vector selects): miter keeps
-                # everything, bevel drops tip triangles, round keeps
-                # the half-width disc (shaders.wgsl:191-203).
-                keep = (
-                    ((~is_bevel & ~is_round) & (radius >= 0.0))
-                    | ((is_bevel & ~is_tip) & (radius >= 0.0))
-                    | (is_round & (radius <= 0.5))
-                )
+            ch_c = [
+                lc[0] * aw[cc][0] + lc[1] * aw[cc][1] + lc[2] * aw[cc][2]
+                for cc in range(n_ch)
+            ]
+            gx = [
+                invA * (ea[0] * aw[cc][0] + ea[1] * aw[cc][1]
+                        + ea[2] * aw[cc][2])
+                for cc in range(n_ch)
+            ]
+            gy = [
+                invA * (eb[0] * aw[cc][0] + eb[1] * aw[cc][1]
+                        + eb[2] * aw[cc][2])
+                for cc in range(n_ch)
+            ]
+            iwv = [cf(RF_IW + k) for k in range(3)]
+            iw_c = lc[0] * iwv[0] + lc[1] * iwv[1] + lc[2] * iwv[2]
+            gxw = invA * (ea[0] * iwv[0] + ea[1] * iwv[1] + ea[2] * iwv[2])
+            gyw = invA * (eb[0] * iwv[0] + eb[1] * iwv[1] + eb[2] * iwv[2])
+            flags4 = ci(RI_FLAGS)
+            tl = [(flags4 & (1 << k)) != 0 for k in range(3)]
+            batch_ok = (
+                None if SBS == 1 else (
+                    j0 + jax.lax.broadcasted_iota(
+                        jnp.int32, (SBS, 1, 1), 0
+                    )
+                ) < hi
+            )
+            # Per-entry scalars for the predicate stage.
+            grp_k = [ri4[k, RI_GROUP] for k in range(SBS)]
+            flg_k = [ri4[k, RI_FLAGS] for k in range(SBS)]
+            endy_k = [rf4[k, RF_END_Y] for k in range(SBS)]
+            if dash_mode:
+                df_k = [desc_f[grp_k[k], :] for k in range(SBS)]
+            di_k = [desc_i[grp_k[k], :] for k in range(SBS)]
+
+            def entry_keep(k, tex_x, tex_y, tex_z):
+                if joint:
+                    radius = jnp.sqrt(tex_x * tex_x + tex_y * tex_y)
+                    join = di_k[k][10]
+                    is_tip = (flg_k[k] & FLAG_JOINT_TIP) != 0
+                    is_bevel = join == int(Join.BEVEL)
+                    is_round = join == int(Join.ROUND)
+                    # Boolean algebra (no i1-vector selects): miter
+                    # keeps everything, bevel drops tip triangles, round
+                    # keeps the half-width disc (shaders.wgsl:191-203).
+                    keep = (
+                        ((~is_bevel & ~is_round) & (radius >= 0.0))
+                        | ((is_bevel & ~is_tip) & (radius >= 0.0))
+                        | (is_round & (radius <= 0.5))
+                    )
+                    if dash_mode:
+                        angle = _atan2(tex_y, tex_x) * jnp.float32(
+                            1.0 / TAU
+                        )
+                        dm = (
+                            _dash_mask_single if dash_mode == 1
+                            else _dash_mask_general
+                        )(df_k[k], di_k[k], radius, tex_z + angle)
+                        keep = keep & dm
+                    return keep
                 if dash_mode:
-                    angle = _atan2(tex_y, tex_x) * jnp.float32(1.0 / TAU)
-                    dm = (
+                    return (
                         _dash_mask_single if dash_mode == 1
                         else _dash_mask_general
-                    )(desc_f[grp, :], desc_i[grp, :], radius, tex_z + angle)
-                    keep = keep & dm
-            elif dash_mode:
-                keep = (
-                    _dash_mask_single if dash_mode == 1
-                    else _dash_mask_general
-                )(desc_f[grp, :], desc_i[grp, :], tex_x, tex_y)
-            else:
+                    )(df_k[k], di_k[k], tex_x, tex_y)
                 end_cap = _cap_mask_scalar(
-                    desc_i[grp, 12], tex_x, tex_y - rf[RF_END_Y]
+                    di_k[k][12], tex_x, tex_y - endy_k[k]
                 )
-                start_cap = _cap_mask_scalar(desc_i[grp, 11], tex_x, -tex_y)
-                end_flag = (flags & FLAG_END_CAP) != 0
-                keep = (
+                start_cap = _cap_mask_scalar(di_k[k][11], tex_x, -tex_y)
+                end_flag = (flg_k[k] & FLAG_END_CAP) != 0
+                return (
                     (end_flag & end_cap)
                     | (~end_flag & ((tex_y >= 0.0) | start_cap))
                 )
-            covered = inside & keep & clip_ok
-            current = wind[...]
-            wind[...] = jnp.where(covered & (current == 0), 1, current)
+
+            for s in range(S):
+                dx = float(offsets[s, 0]) - 0.5
+                dy = float(offsets[s, 1]) - 0.5
+                inside = None
+                for k in range(3):
+                    nt = -(ea[k] * dx + eb[k] * dy)
+                    t = (ec[k] > nt) | ((ec[k] == nt) & tl[k])
+                    inside = t if inside is None else (inside & t)
+                if batch_ok is not None:
+                    inside = inside & batch_ok
+                iws = iw_c + (gxw * dx + gyw * dy)
+                inv = 1.0 / jnp.where(iws != 0.0, iws, 1.0)
+                texs = [
+                    (ch_c[cc] + (gx[cc] * dx + gy[cc] * dy)) * inv
+                    for cc in range(n_ch)
+                ]
+                cov = None
+                for k in range(SBS):
+                    keep = entry_keep(
+                        k,
+                        texs[0] if SBS == 1 else texs[0][k],
+                        texs[1] if SBS == 1 else texs[1][k],
+                        (texs[2] if SBS == 1 else texs[2][k])
+                        if joint else None,
+                    )
+                    ck = (inside if SBS == 1 else inside[k]) & keep
+                    cov = ck if cov is None else (cov | ck)
+                if clip_ok is not None:
+                    cov = cov & clip_ok[s]
+                current = wind[s]
+                wind[s] = jnp.where(cov & (current == 0), 1, current)
 
         def process_fill_batch(rf4, ri4, j0, hi, class_code, clip_ok):
             """NB fill triangles at once.  All per-triangle quantities
@@ -1119,16 +1233,24 @@ def make_rasterize(spec: FrameSpec):
                 delta = jnp.sum(
                     jnp.where(keep, contrib4, 0), axis=0
                 )  # (th, tw)
-                wind[s] = wind[s] + jnp.where(clip_ok[s], delta, 0)
+                if clip_ok is not None:
+                    delta = jnp.where(clip_ok[s], delta, 0)
+                wind[s] = wind[s] + delta
 
         def cmd_body(k, carry):
             c = aclist[0, 0, k]
             op = cmd_i[c, 0]
             depth = cmd_i[c, 1]
             layer = cmd_i[c, 2]
-            clip_ok = clipb[...] == depth
+            clip_ok = (clipb[...] == depth) if has_clip else None
 
-            @pl.when(op == OP_STENCIL)
+            # Without clip commands the clip buffer is identically zero,
+            # so the per-sample clip test collapses to the scalar
+            # `depth == 0` — commands at nonzero depth are no-ops.
+            sel_ok = True if has_clip else (depth == 0)
+
+            @pl.when((op == OP_STENCIL) & sel_ok if not has_clip
+                     else op == OP_STENCIL)
             def _stencil():
                 base = N_CLASSES * c
 
@@ -1143,33 +1265,54 @@ def make_rasterize(spec: FrameSpec):
                     (CLS_JOINT_DASH1, True, 1),
                     (CLS_JOINT_DASHN, True, 2),
                 ):
-                    def local_stroke(j, inner, joint=joint,
-                                     dash_mode=dash_mode):
-                        process_stroke(
-                            tri_f[0, j, :], tri_i[0, j, :], clip_ok,
-                            joint, dash_mode,
+                    # pl.when guards: an empty range skips the loop
+                    # prologue entirely — most (visit, class) pairs are
+                    # empty.
+                    s_lo = off[0, 0, base + cls_code]
+                    s_hi = off[0, 0, base + cls_code + 1]
+
+                    def local_stroke(b_ix, inner, joint=joint,
+                                     dash_mode=dash_mode,
+                                     s_lo=s_lo, s_hi=s_hi):
+                        j0 = s_lo + b_ix * SBS
+                        process_stroke_batch(
+                            tri_f[0, pl.ds(j0, SBS), :],
+                            tri_i[0, pl.ds(j0, SBS), :],
+                            j0, s_hi, clip_ok, joint, dash_mode,
                         )
                         return inner
 
-                    def global_stroke(j, inner, joint=joint,
-                                      dash_mode=dash_mode):
-                        g = glist[0, 0, j]
-                        process_stroke(
-                            g_rows_f[g, :], g_rows_i[g, :], clip_ok,
-                            joint, dash_mode,
+                    @pl.when(s_hi > s_lo)
+                    def _local_strokes(s_lo=s_lo, s_hi=s_hi,
+                                       local_stroke=local_stroke):
+                        jax.lax.fori_loop(
+                            0, (s_hi - s_lo + SBS - 1) // SBS,
+                            local_stroke, 0,
+                        )
+
+                    gs_lo = g_off[0, 0, base + cls_code]
+                    gs_hi = g_off[0, 0, base + cls_code + 1]
+
+                    def global_stroke(b_ix, inner, joint=joint,
+                                      dash_mode=dash_mode,
+                                      gs_lo=gs_lo, gs_hi=gs_hi):
+                        j0 = gs_lo + b_ix * SBS
+                        gidx = [glist[0, 0, j0 + k] for k in range(SBS)]
+                        rf4 = jnp.stack([g_rows_f[g, :] for g in gidx])
+                        ri4 = jnp.stack([g_rows_i[g, :] for g in gidx])
+                        process_stroke_batch(
+                            rf4, ri4, j0, gs_hi, clip_ok, joint,
+                            dash_mode,
                         )
                         return inner
 
-                    jax.lax.fori_loop(
-                        off[0, 0, base + cls_code],
-                        off[0, 0, base + cls_code + 1],
-                        local_stroke, 0,
-                    )
-                    jax.lax.fori_loop(
-                        g_off[0, 0, base + cls_code],
-                        g_off[0, 0, base + cls_code + 1],
-                        global_stroke, 0,
-                    )
+                    @pl.when(gs_hi > gs_lo)
+                    def _global_strokes(gs_lo=gs_lo, gs_hi=gs_hi,
+                                        global_stroke=global_stroke):
+                        jax.lax.fori_loop(
+                            0, (gs_hi - gs_lo + SBS - 1) // SBS,
+                            global_stroke, 0,
+                        )
 
                 # Fill classes (solid, quadratic, cubic) — NB entries at
                 # a time with coefficients as (NB, 1, 1) vectors;
@@ -1189,9 +1332,11 @@ def make_rasterize(spec: FrameSpec):
                         )
                         return inner
 
-                    jax.lax.fori_loop(
-                        0, (hi - lo + NB - 1) // NB, local_batch, 0
-                    )
+                    @pl.when(hi > lo)
+                    def _local_fills(lo=lo, hi=hi, local_batch=local_batch):
+                        jax.lax.fori_loop(
+                            0, (hi - lo + NB - 1) // NB, local_batch, 0
+                        )
 
                     glo = g_off[0, 0, base + cls_code]
                     ghi = g_off[0, 0, base + cls_code + 1]
@@ -1207,17 +1352,24 @@ def make_rasterize(spec: FrameSpec):
                         )
                         return inner
 
-                    jax.lax.fori_loop(
-                        0, (ghi - glo + NB - 1) // NB, global_batch, 0
-                    )
+                    @pl.when(ghi > glo)
+                    def _global_fills(glo=glo, ghi=ghi,
+                                      global_batch=global_batch):
+                        jax.lax.fori_loop(
+                            0, (ghi - glo + NB - 1) // NB, global_batch, 0
+                        )
 
                 b = bulk[0, 0, c]
 
                 @pl.when(b != 0)
                 def _bulk():
-                    wind[...] = wind[...] + jnp.where(clip_ok, b, 0)
+                    if clip_ok is not None:
+                        wind[...] = wind[...] + jnp.where(clip_ok, b, 0)
+                    else:
+                        wind[...] = wind[...] + b
 
-            @pl.when(op != OP_STENCIL)
+            @pl.when((op != OP_STENCIL) & sel_ok if not has_clip
+                     else op != OP_STENCIL)
             def _cover():
                 cl = cls[0, 0, c]
 
@@ -1257,7 +1409,9 @@ def make_rasterize(spec: FrameSpec):
                     def _color():
                         # Stencil Less → Zero: paint where winding nonzero
                         # within clip, reset winding (renderer.rs:736-754).
-                        mask = in_hull & clip_ok & nonzero
+                        mask = in_hull & nonzero
+                        if clip_ok is not None:
+                            mask = mask & clip_ok
                         src = (cr * ca, cg * ca, cb * ca, ca)
                         if front_to_back:
                             remaining = 1.0 - colorb[3]
@@ -1276,59 +1430,86 @@ def make_rasterize(spec: FrameSpec):
                                 )
                         wind[...] = jnp.where(mask, 0, wind[...])
 
-                    @pl.when(op == OP_CLIP)
-                    def _clip():
-                        # Replace on NotEqual: promote winding≠0 into the
-                        # clip counter (renderer.rs:692-710).
-                        mask = in_hull & nonzero
-                        clipb[...] = jnp.where(mask, depth, clipb[...])
-                        wind[...] = jnp.where(mask, 0, wind[...])
+                    if has_clip:
+                        @pl.when(op == OP_CLIP)
+                        def _clip():
+                            # Replace on NotEqual: promote winding≠0 into
+                            # the clip counter (renderer.rs:692-710).
+                            mask = in_hull & nonzero
+                            clipb[...] = jnp.where(mask, depth, clipb[...])
+                            wind[...] = jnp.where(mask, 0, wind[...])
 
-                    @pl.when(op == OP_UNCLIP)
-                    def _unclip():
-                        # Replace on Less: demote deeper samples
-                        # (renderer.rs:711-729).
-                        mask = in_hull & (clipb[...] > depth)
-                        clipb[...] = jnp.where(mask, depth, clipb[...])
-                        wind[...] = jnp.where(mask, 0, wind[...])
+                        @pl.when(op == OP_UNCLIP)
+                        def _unclip():
+                            # Replace on Less: demote deeper samples
+                            # (renderer.rs:711-729).
+                            mask = in_hull & (clipb[...] > depth)
+                            clipb[...] = jnp.where(mask, depth, clipb[...])
+                            wind[...] = jnp.where(mask, 0, wind[...])
 
-                    @pl.when(op == OP_SAVE_ALPHA)
-                    def _save():
-                        # Copy frame alpha into the layer texture
-                        # (renderer.rs:767-799, shaders.wgsl:323-338).
-                        mask = in_hull & clip_ok
-                        layerb[layer] = jnp.where(
-                            mask, colorb[3], layerb[layer]
-                        )
+                    if has_alpha:
+                        @pl.when(op == OP_SAVE_ALPHA)
+                        def _save():
+                            # Copy frame alpha into the layer texture
+                            # (renderer.rs:767-799, shaders.wgsl:323-338).
+                            mask = in_hull
+                            if clip_ok is not None:
+                                mask = mask & clip_ok
+                            layerb[layer] = jnp.where(
+                                mask, colorb[3], layerb[layer]
+                            )
 
-                    @pl.when(op == OP_SCALE_ALPHA)
-                    def _scale():
-                        # frame.alpha ← (1-g) + g·frame.alpha
-                        # (renderer.rs:800-828, shaders.wgsl:311-316).
-                        mask = in_hull & clip_ok
-                        colorb[3] = jnp.where(
-                            mask, (1.0 - ca) + ca * colorb[3], colorb[3]
-                        )
+                        @pl.when(op == OP_SCALE_ALPHA)
+                        def _scale():
+                            # frame.alpha ← (1-g) + g·frame.alpha
+                            # (renderer.rs:800-828, shaders.wgsl:311-316).
+                            mask = in_hull
+                            if clip_ok is not None:
+                                mask = mask & clip_ok
+                            colorb[3] = jnp.where(
+                                mask, (1.0 - ca) + ca * colorb[3], colorb[3]
+                            )
 
-                    @pl.when(op == OP_RESTORE_ALPHA)
-                    def _restore():
-                        # frame.alpha ← frame.alpha − (1−saved)(1−g)
-                        # (reverse subtract, renderer.rs:829-861,
-                        # shaders.wgsl:340-355).
-                        mask = in_hull & clip_ok
-                        colorb[3] = jnp.where(
-                            mask,
-                            colorb[3] - (1.0 - layerb[layer]) * (1.0 - ca),
-                            colorb[3],
-                        )
+                        @pl.when(op == OP_RESTORE_ALPHA)
+                        def _restore():
+                            # frame.alpha ← frame.alpha − (1−saved)(1−g)
+                            # (reverse subtract, renderer.rs:829-861,
+                            # shaders.wgsl:340-355).
+                            mask = in_hull
+                            if clip_ok is not None:
+                                mask = mask & clip_ok
+                            colorb[3] = jnp.where(
+                                mask,
+                                colorb[3]
+                                - (1.0 - layerb[layer]) * (1.0 - ca),
+                                colorb[3],
+                            )
 
             return carry
 
-        jax.lax.fori_loop(0, acount[0, 0, 0], cmd_body, 0)
+        n_active = acount[0, 0, 0]
 
-        inv_s = jnp.float32(1.0 / S)
-        for chan in range(4):
-            out_ref[0, chan] = jnp.sum(colorb[chan], axis=0) * inv_s
+        # Empty-tile fast path: tiles no command touches (typically the
+        # majority of a sparse frame) write transparent black and skip
+        # all scratch zeroing and the resolve read entirely.
+        @pl.when(n_active == 0)
+        def _empty_tile():
+            out_ref[...] = jnp.zeros((1, 4, th, tw), jnp.float32)
+
+        @pl.when(n_active > 0)
+        def _tile_body():
+            wind[...] = jnp.zeros((S, th, tw), jnp.int32)
+            colorb[...] = jnp.zeros((4, S, th, tw), jnp.float32)
+            if has_clip:
+                clipb[...] = jnp.zeros((S, th, tw), jnp.int32)
+            if has_alpha:
+                layerb[...] = jnp.zeros((L, S, th, tw), jnp.float32)
+
+            jax.lax.fori_loop(0, n_active, cmd_body, 0)
+
+            inv_s = jnp.float32(1.0 / S)
+            for chan in range(4):
+                out_ref[0, chan] = jnp.sum(colorb[chan], axis=0) * inv_s
 
     grid = (n_tiles,)
     in_specs = [
@@ -1348,11 +1529,11 @@ def make_rasterize(spec: FrameSpec):
                      memory_space=pltpu.SMEM),                       # cls
         pl.BlockSpec((1, 1, C), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),                       # hbits
-        pl.BlockSpec((1, 1, Kg + NB), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, 1, Kg + PAD), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),                       # glist
-        pl.BlockSpec((1, K + NB, D_F), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, K + PAD, D_F), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),                       # tri_f
-        pl.BlockSpec((1, K + NB, D_I), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, K + PAD, D_I), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),                       # tri_i
         pl.BlockSpec(memory_space=pltpu.VMEM),                       # g_rows_f
         pl.BlockSpec(memory_space=pltpu.VMEM),                       # g_rows_i
@@ -1367,13 +1548,16 @@ def make_rasterize(spec: FrameSpec):
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 4, th, tw), lambda i: (i, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n_tiles, 4, th, tw), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((S, th, tw), jnp.int32),     # wind
-            pltpu.VMEM((S, th, tw), jnp.int32),     # clipb
-            pltpu.VMEM((4, S, th, tw), jnp.float32),  # colorb
-            pltpu.VMEM((L, S, th, tw), jnp.float32),  # layerb
-            pltpu.VMEM((S, th, tw), jnp.int32),     # maskb
-        ],
+        scratch_shapes=(
+            [
+                pltpu.VMEM((S, th, tw), jnp.int32),       # wind
+                pltpu.VMEM((4, S, th, tw), jnp.float32),  # colorb
+                pltpu.VMEM((S, th, tw), jnp.int32),       # maskb
+            ]
+            + ([pltpu.VMEM((S, th, tw), jnp.int32)] if has_clip else [])
+            + ([pltpu.VMEM((L, S, th, tw), jnp.float32)] if has_alpha
+               else [])
+        ),
         interpret=spec.interpret,
     )
 
@@ -1392,4 +1576,5 @@ def make_rasterize(spec: FrameSpec):
         )
         return image[:H, :W]
 
+    rasterize.raw_call = raster_call  # for benchmarks/ablation
     return rasterize

@@ -336,6 +336,7 @@ class Renderer:
         interpret=None,
         strict_capacity: bool = True,
         fill_batch=None,
+        stroke_batch: int = 1,
     ):
         self.config = config
         self.width = int(width)
@@ -355,6 +356,11 @@ class Renderer:
         #: wide batches; sparse scenes waste masked lanes (measured on
         #: v5e: 10k-glyph scene +53% at 16, showcase best at 2).
         self.fill_batch = None if fill_batch is None else int(fill_batch)
+        #: Stroke entries evaluated per kernel step.  1 = scalar
+        #: per-entry path (measured best for sparse per-tile stroke
+        #: ranges on v5e; wider batches waste masked lanes on the
+        #: batch-vectorized geometry stage).
+        self.stroke_batch = max(1, int(stroke_batch))
         self._global_capacity = 1024
         self._tile_global_capacity = 128
         self._clip_pool = 64
@@ -371,6 +377,13 @@ class Renderer:
         self._executors = {}
         self._scene_cache = {}
         self._prepared_cache = {}
+        #: Content-keyed cache of small device-resident runtime arrays
+        #: (command tables, descriptors, transforms).  Re-uploading
+        #: unchanged arrays every frame costs one H2D transfer each —
+        #: the dominant per-frame cost on remote-TPU links; the
+        #: reference's analogue is its update-in-place buffers
+        #: (renderer.rs:63-117).
+        self._upload_cache = {}
         #: Per-stage counters of the last rendered frame (observability).
         self.stats = {}
 
@@ -458,6 +471,7 @@ class Renderer:
             tile_global_capacity=self._tile_global_capacity,
             clip_pool=self._clip_pool,
             fill_batch=fill_batch,
+            stroke_batch=self.stroke_batch,
             interpret=self._interpret_flag(),
         )
 
@@ -505,6 +519,17 @@ class Renderer:
         cmd_f = np.zeros((len(commands), 8), np.float32)
         cmd_f[:, 0:4] = [c.color for c in commands]
         return cmd_i, cmd_f
+
+    def _dev_cached(self, name: str, arr: np.ndarray):
+        """Device copy of `arr`, re-uploaded only when its bytes change."""
+        key = (name, arr.shape, arr.dtype.str, arr.tobytes())
+        dev = self._upload_cache.get(key)
+        if dev is None:
+            if len(self._upload_cache) >= 64:
+                self._upload_cache.pop(next(iter(self._upload_cache)))
+            dev = jax.device_put(arr)
+            self._upload_cache[key] = dev
+        return dev
 
     def _grow_capacities(self, overflow, limits) -> bool:
         grew = False
@@ -591,8 +616,9 @@ class Renderer:
                 prepared, self.stats = cached
             else:
                 prepared = prepare(
-                    *scene.arrays, jnp.asarray(transforms),
-                    jnp.asarray(desc_static),
+                    *scene.arrays,
+                    self._dev_cached("transforms", transforms),
+                    self._dev_cached("desc_static", desc_static),
                 )
                 limits = (
                     spec.capacity,
@@ -637,7 +663,13 @@ class Renderer:
             raise RuntimeError("tile binning capacity did not converge")
 
         cmd_i, cmd_f = self._pack_commands_runtime(commands)
-        image = rasterize(prepared, cmd_i, cmd_f, desc_f, desc_i)
+        image = rasterize(
+            prepared,
+            self._dev_cached("cmd_i", cmd_i),
+            self._dev_cached("cmd_f", cmd_f),
+            self._dev_cached("desc_f", desc_f),
+            self._dev_cached("desc_i", desc_i),
+        )
         if as_uint8:
             if background is not None:
                 image = self._composite_quantize(
