@@ -338,3 +338,62 @@ class TestClipAlphaInterplay:
         )
         # Inside clip, outside content: pure green.
         assert np.allclose(image[10, 10], [0, 1, 0, 1], atol=1e-4)
+
+
+class TestKernelSpecializations:
+    """The kernel compiles specialized variants per frame signature
+    (no-clip/no-alpha frames, stroke batch width); their semantics must
+    be identical to the general paths."""
+
+    def test_nonzero_depth_without_clip_commands_masks(self, renderer):
+        """With no CLIP/UNCLIP in the frame the clip buffer is zero, so
+        commands at clip_depth > 0 must be complete no-ops (the
+        specialized kernel folds this into a scalar depth test)."""
+        disc = Shape([Path.from_circle((32.0, 32.0), 20.0)])
+        commands = [
+            DrawCommand(
+                RenderOperation.STENCIL, disc, ortho(), clip_depth=1
+            ),
+            DrawCommand(
+                RenderOperation.COLOR, disc, ortho(),
+                color=(1.0, 0.0, 0.0, 1.0), clip_depth=1,
+            ),
+        ]
+        image = renderer.render(commands)
+        assert np.all(image == 0.0), "depth-1 draw leaked without clip"
+        # Same commands at depth 0 do render.
+        commands0 = stencil_color(disc, ortho(), (1.0, 0.0, 0.0, 1.0))
+        image0 = renderer.render(commands0)
+        assert image0[32, 32, 3] == 1.0
+
+    def test_stroke_batch_widths_agree(self):
+        """stroke_batch > 1 (batched geometry + per-entry predicates)
+        must reproduce the stroke_batch=1 image exactly, across solid,
+        single-interval-dash, and joint-heavy content."""
+        dashed = DynamicStrokeOptions.make_dashed(
+            Join.ROUND,
+            [DashInterval(2.0, 3.0, Cap.ROUND, Cap.OUT)],
+            0.5,
+        )
+        solid = DynamicStrokeOptions.make_solid(
+            Join.MITER, Cap.SQUARE, Cap.IN
+        )
+        zigzag = Path.from_polygon(
+            [(8.0, 8.0), (30.0, 50.0), (40.0, 12.0), (56.0, 40.0)]
+        )
+        zigzag.stroke_options = StrokeOptions(
+            width=5.0, dynamic_stroke_options_group=0
+        )
+        ring = Path.from_circle((32.0, 32.0), 32.0)
+        ring.stroke_options = StrokeOptions(
+            width=4.0, closed=True, dynamic_stroke_options_group=1
+        )
+        shape = Shape([zigzag, ring], [dashed, solid])
+        commands = stencil_color(shape, ortho(), (0.2, 0.5, 1.0, 0.9))
+        images = []
+        for sb in (1, 2, 4):
+            r = Renderer(Configuration(), SIZE, SIZE, stroke_batch=sb)
+            images.append(np.asarray(r.render(commands)))
+        assert np.array_equal(images[0], images[1])
+        assert np.array_equal(images[0], images[2])
+        assert images[0][..., 3].max() > 0.5  # something rendered
