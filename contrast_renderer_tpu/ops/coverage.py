@@ -564,10 +564,17 @@ def make_prepare(spec: FrameSpec):
 
         kk = jnp.arange(K + PAD, dtype=i32)
         gidx = jnp.clip(tile_begin[:, None] + kk[None, :], 0, skey.shape[0] - 1)
-        slot_valid = kk[None, :] < jnp.minimum(tile_count, K)[:, None]
-        row_ids = jnp.where(slot_valid, srow[gidx], 0)
-        tri_f = rows_f[row_ids]
-        tri_i = rows_i[row_ids]
+        # Gather wide rows through the sorted order rather than gathering
+        # the 1D index vector first: element gathers of s32[tiles*K] are
+        # serial on TPU (measured 0.9 ms at 1080p) while row gathers of
+        # (…, 32)-wide rows vectorize on the (8,128) tiling.  Rows past a
+        # tile's entry count are garbage from the neighbouring segment —
+        # the kernel never reads past the `off` ranges (batch tails are
+        # masked by batch_ok).
+        sorted_f = rows_f[srow]
+        sorted_i = rows_i[srow]
+        tri_f = sorted_f[gidx]
+        tri_i = sorted_i[gidx]
         # Clamp offsets to capacity so kernel ranges stay in bounds even
         # on overflow (the host detects it via `overflow` and retries).
         off = jnp.minimum(off, K)
@@ -775,17 +782,14 @@ def make_prepare(spec: FrameSpec):
         g_end = g_off[:, N_CLASSES:N_CLASSES * C + 1:N_CLASSES]
         global_any = (g_end - g_start) > 0
         active = local_any | global_any | (bulk != 0) | (cls > 0)
-        a_rank = jnp.cumsum(active.astype(i32), axis=1) - 1
-        aclist = jnp.zeros((n_tiles, C), i32).at[
-            jnp.broadcast_to(
-                jnp.arange(n_tiles, dtype=i32)[:, None], (n_tiles, C)
-            ).reshape(-1),
-            jnp.where(active, a_rank, C).reshape(-1),
-        ].set(
-            jnp.broadcast_to(
-                jnp.arange(C, dtype=i32)[None, :], (n_tiles, C)
-            ).reshape(-1),
-            mode="drop",
+        # Compact active command indices per tile by a row-wise sort
+        # (inactive slots key to C and sink to the tail) — cheaper than
+        # a scatter on TPU and order-preserving.
+        aclist = jnp.sort(
+            jnp.where(
+                active, jnp.arange(C, dtype=i32)[None, :], jnp.int32(C)
+            ),
+            axis=1,
         )
         acount = jnp.sum(active.astype(i32), axis=1)
 
