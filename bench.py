@@ -91,9 +91,9 @@ def main():
     # never execute), so every timed frame is forced to completion by
     # a real data dependency.  The per-frame reduction costs one read of
     # the frame — the measured FPS is a slight under-estimate.
-    probe = jax.jit(lambda x: jnp.sum(x[..., 3]))
-    acc = probe(frame(0.0)) + probe(frame(0.016))  # compile frame+probe
-    float(acc)
+    probe_add = jax.jit(lambda acc, x: acc + jnp.sum(x[..., 3]))
+    acc = probe_add(probe_add(jnp.float32(0.0), frame(0.0)), frame(0.016))
+    float(acc)  # compile frame + probe
     frames = 32 if on_accelerator else 2
     batches = 3 if on_accelerator else 1
     # Best sustained batch: remote-TPU links show occasional one-off
@@ -106,7 +106,7 @@ def main():
         start = time.perf_counter()
         acc = jnp.float32(0.0)
         for i in range(frames):
-            acc = acc + probe(frame((b * frames + i) * 0.016))
+            acc = probe_add(acc, frame((b * frames + i) * 0.016))
         checksum = float(acc)  # forces every frame in the chain
         elapsed = time.perf_counter() - start
         assert np.isfinite(checksum)
