@@ -458,10 +458,20 @@ def make_prepare(spec: FrameSpec):
             ],
             axis=-1,
         )
-        grp_dashed = desc_static[group, 0]
-        grp_last = desc_static[group, 1]
-        dash_mode = jnp.where(
-            grp_dashed == 0, 0, jnp.where(grp_last == 0, 1, 2)
+        # Per-group dash mode looked up via a one-hot reduction: 1D
+        # element gathers are serial on TPU, and the group table is
+        # tiny (a handful of rows).
+        n_groups = desc_static.shape[0]
+        mode_tbl = jnp.where(
+            desc_static[:, 0] == 0,
+            0,
+            jnp.where(desc_static[:, 1] == 0, 1, 2),
+        )  # (n_groups,)
+        one_hot_grp = (
+            group[:, None] == jnp.arange(n_groups, dtype=i32)[None, :]
+        )
+        dash_mode = jnp.sum(
+            jnp.where(one_hot_grp, mode_tbl[None, :], 0), axis=1
         )
         clsk = jnp.where(
             kind_all == KIND_STROKE_LINE, CLS_LINE_SOLID + dash_mode,
@@ -532,11 +542,17 @@ def make_prepare(spec: FrameSpec):
         solid_acc = valid & accept & solid_flat[:, None]
         entry = valid & ~solid_acc
 
-        bulk = bulk.at[
-            tile_of.reshape(-1), jnp.repeat(cmd_of, M)
-        ].add(
-            jnp.where(solid_acc, contrib_flat[:, None], 0).reshape(-1),
-            mode="drop",
+        # Trivial-accept scatter, cond-guarded: most scenes (small
+        # triangles only) never fully cover a tile, and the scatter-add
+        # costs ~0.5 ms even when every contribution is zero.
+        bulk_vals = jnp.where(solid_acc, contrib_flat[:, None], 0)
+        bulk = jax.lax.cond(
+            jnp.any(solid_acc),
+            lambda b: b.at[
+                tile_of.reshape(-1), jnp.repeat(cmd_of, M)
+            ].add(bulk_vals.reshape(-1), mode="drop"),
+            lambda b: b,
+            bulk,
         )
 
         # Stable sort of local entries by (tile, cmd, class) — stroke
