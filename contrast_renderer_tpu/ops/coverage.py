@@ -221,9 +221,8 @@ class PreparedFrame(NamedTuple):
     tri_f: jnp.ndarray    # (n_tiles, K, D_F)
     tri_i: jnp.ndarray    # (n_tiles, K, D_I)
     off: jnp.ndarray      # (n_tiles, 1, 5C+1) per-(cmd, class) entry ranges
-    g_rows_f: jnp.ndarray  # (G, D_F)
-    g_rows_i: jnp.ndarray  # (G, D_I)
-    glist: jnp.ndarray    # (n_tiles, 1, Kg) indices into g_rows
+    g_tri_f: jnp.ndarray  # (n_tiles, Kg, D_F) per-tile big-triangle rows
+    g_tri_i: jnp.ndarray  # (n_tiles, Kg, D_I)
     g_off: jnp.ndarray    # (n_tiles, 1, 5C+1)
     bulk: jnp.ndarray     # (n_tiles, 1, C) trivially-accepted solid winding
     cls: jnp.ndarray      # (n_tiles, 1, C) cover class 0/1/2
@@ -659,6 +658,13 @@ def make_prepare(spec: FrameSpec):
         glist = jnp.concatenate(
             [gl_idx.astype(i32), jnp.zeros((n_tiles, PAD), i32)], axis=1
         )
+        # Materialize each tile's global rows densely: the kernel then
+        # reads them with the same contiguous pl.ds pattern as local
+        # entries (the per-entry glist indirection — scalar index load
+        # plus a row gather from the full table — was the dominant cost
+        # of global-heavy scenes).
+        g_tri_f = g_rows_f[glist]     # (n_tiles, Kg+PAD, D_F)
+        g_tri_i = g_rows_i[glist]
         g_key2 = g_cmd * N_CLASSES + g_rows_i[:, RI_CLASS]
         key2_one_hot = (
             g_key2[:, None]
@@ -817,9 +823,8 @@ def make_prepare(spec: FrameSpec):
             tri_f=tri_f,
             tri_i=tri_i,
             off=off[:, None, :],
-            g_rows_f=g_rows_f,
-            g_rows_i=g_rows_i,
-            glist=glist[:, None, :],
+            g_tri_f=g_tri_f,
+            g_tri_i=g_tri_i,
             g_off=g_off[:, None, :],
             bulk=bulk[:, None, :],
             cls=cls[:, None, :],
@@ -980,8 +985,8 @@ def make_rasterize(spec: FrameSpec):
     )
 
     def kernel(
-        cmd_i, cmd_f, acount, aclist, off, g_off, bulk, cls, hbits, glist,
-        tri_f, tri_i, g_rows_f, g_rows_i, hull_lines, desc_f, desc_i,
+        cmd_i, cmd_f, acount, aclist, off, g_off, bulk, cls, hbits,
+        tri_f, tri_i, g_tri_f, g_tri_i, hull_lines, desc_f, desc_i,
         out_ref, *scratch,
     ):
         wind, colorb, maskb = scratch[0], scratch[1], scratch[2]
@@ -1317,12 +1322,10 @@ def make_rasterize(spec: FrameSpec):
                                       dash_mode=dash_mode,
                                       gs_lo=gs_lo, gs_hi=gs_hi):
                         j0 = gs_lo + b_ix * SBS
-                        gidx = [glist[0, 0, j0 + k] for k in range(SBS)]
-                        rf4 = jnp.stack([g_rows_f[g, :] for g in gidx])
-                        ri4 = jnp.stack([g_rows_i[g, :] for g in gidx])
                         process_stroke_batch(
-                            rf4, ri4, j0, gs_hi, clip_ok, joint,
-                            dash_mode,
+                            g_tri_f[0, pl.ds(j0, SBS), :],
+                            g_tri_i[0, pl.ds(j0, SBS), :],
+                            j0, gs_hi, clip_ok, joint, dash_mode,
                         )
                         return inner
 
@@ -1364,11 +1367,10 @@ def make_rasterize(spec: FrameSpec):
                     def global_batch(b_ix, inner, glo=glo, ghi=ghi,
                                      cls_code=cls_code):
                         j0 = glo + b_ix * NB
-                        gidx = [glist[0, 0, j0 + k] for k in range(NB)]
-                        rf4 = jnp.stack([g_rows_f[g, :] for g in gidx])
-                        ri4 = jnp.stack([g_rows_i[g, :] for g in gidx])
                         process_fill_batch(
-                            rf4, ri4, j0, ghi, cls_code, clip_ok
+                            g_tri_f[0, pl.ds(j0, NB), :],
+                            g_tri_i[0, pl.ds(j0, NB), :],
+                            j0, ghi, cls_code, clip_ok,
                         )
                         return inner
 
@@ -1549,14 +1551,14 @@ def make_rasterize(spec: FrameSpec):
                      memory_space=pltpu.SMEM),                       # cls
         pl.BlockSpec((1, 1, C), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),                       # hbits
-        pl.BlockSpec((1, 1, Kg + PAD), lambda i: (i, 0, 0),
-                     memory_space=pltpu.SMEM),                       # glist
         pl.BlockSpec((1, K + PAD, D_F), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),                       # tri_f
         pl.BlockSpec((1, K + PAD, D_I), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),                       # tri_i
-        pl.BlockSpec(memory_space=pltpu.VMEM),                       # g_rows_f
-        pl.BlockSpec(memory_space=pltpu.VMEM),                       # g_rows_i
+        pl.BlockSpec((1, Kg + PAD, D_F), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),                       # g_tri_f
+        pl.BlockSpec((1, Kg + PAD, D_I), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),                       # g_tri_i
         pl.BlockSpec(memory_space=pltpu.VMEM),                       # hull_lines
         pl.BlockSpec(memory_space=pltpu.VMEM),                       # desc_f
         pl.BlockSpec(memory_space=pltpu.VMEM),                       # desc_i
@@ -1585,9 +1587,9 @@ def make_rasterize(spec: FrameSpec):
         tiles = raster_call(
             cmd_i, cmd_f,
             prepared.acount, prepared.aclist, prepared.off, prepared.g_off,
-            prepared.bulk, prepared.cls, prepared.hbits, prepared.glist,
+            prepared.bulk, prepared.cls, prepared.hbits,
             prepared.tri_f, prepared.tri_i,
-            prepared.g_rows_f, prepared.g_rows_i,
+            prepared.g_tri_f, prepared.g_tri_i,
             prepared.hull_lines, desc_f, desc_i,
         )
         image = tiles.reshape(nty, ntx, 4, th, tw)

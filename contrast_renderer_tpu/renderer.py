@@ -362,7 +362,10 @@ class Renderer:
         #: batch-vectorized geometry stage).
         self.stroke_batch = max(1, int(stroke_batch))
         self._global_capacity = 1024
-        self._tile_global_capacity = 128
+        # Per-tile big-triangle rows are DMA'd per grid step whether
+        # used or not — start small; the overflow machinery grows it
+        # (scenes of small triangles never pay for unused slots).
+        self._tile_global_capacity = 32
         self._clip_pool = 64
         self._interpret = interpret
         #: strict_capacity=True synchronizes on the binning overflow
