@@ -971,6 +971,7 @@ def make_rasterize(spec: FrameSpec):
     winding_mask = (1 << spec.winding_bits) - 1
     offsets = SAMPLE_PATTERNS[S]
     front_to_back = spec.blending == "front_to_back"
+    additive = spec.blending == "additive"
     # Static frame-program specialization: frames with no clip / alpha
     # commands (the common case) skip the per-tile state zeroing and the
     # per-command per-sample clip compare entirely.
@@ -1441,6 +1442,16 @@ def make_rasterize(spec: FrameSpec):
                                 colorb[chan] = jnp.where(
                                     mask,
                                     colorb[chan] + src[chan] * remaining,
+                                    colorb[chan],
+                                )
+                        elif additive:
+                            # src ONE + dst ONE — the wgpu additive
+                            # blend state a reference user can configure
+                            # (Configuration.blending, renderer.rs:381).
+                            for chan in range(4):
+                                colorb[chan] = jnp.where(
+                                    mask,
+                                    colorb[chan] + src[chan],
                                     colorb[chan],
                                 )
                         else:

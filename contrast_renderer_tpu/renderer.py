@@ -95,11 +95,16 @@ class Configuration:
     #: state, examples/showcase/main.rs:30-45); "front_to_back":
     #: src·(1-dstAlpha) accumulation — required by the opacity-group
     #: machinery, whose save/scale/restore algebra (renderer.rs:756-861)
-    #: treats frame alpha as accumulated occlusion.
+    #: treats frame alpha as accumulated occlusion; "additive":
+    #: src ONE + dst ONE (the reference's blending is a user-configured
+    #: wgpu blend state, renderer.rs:381 — these are the three states
+    #: its users employ).
     blending: str = "back_to_front"
 
     def __post_init__(self):
-        if self.blending not in ("back_to_front", "front_to_back"):
+        if self.blending not in (
+            "back_to_front", "front_to_back", "additive"
+        ):
             raise ValueError(f"unknown blending {self.blending!r}")
         if (
             self.winding_counter_bits == 0

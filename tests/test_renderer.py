@@ -397,3 +397,21 @@ class TestKernelSpecializations:
         assert np.array_equal(images[0], images[1])
         assert np.array_equal(images[0], images[2])
         assert images[0][..., 3].max() > 0.5  # something rendered
+
+    def test_additive_blending(self):
+        """Configuration(blending="additive"): src ONE + dst ONE — the
+        third blend state reference users configure (renderer.rs:381)."""
+        r = Renderer(Configuration(blending="additive"), SIZE, SIZE)
+        left = Shape([Path.from_circle((28.0, 32.0), 12.0)])
+        right = Shape([Path.from_circle((36.0, 32.0), 12.0)])
+        commands = (
+            stencil_color(left, ortho(), (0.25, 0.0, 0.0, 1.0))
+            + stencil_color(right, ortho(), (0.0, 0.5, 0.0, 1.0))
+        )
+        image = r.render(commands)
+        # Overlap region: channel sums.
+        assert np.allclose(image[32, 32, :3], [0.25, 0.5, 0.0], atol=1e-5)
+        assert np.isclose(image[32, 32, 3], 2.0, atol=1e-5)  # unclamped
+        # Disjoint parts keep their own color.
+        assert np.allclose(image[32, 18, :3], [0.25, 0.0, 0.0], atol=1e-5)
+        assert np.allclose(image[32, 46, :3], [0.0, 0.5, 0.0], atol=1e-5)
