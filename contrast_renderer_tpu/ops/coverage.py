@@ -572,10 +572,12 @@ def make_prepare(spec: FrameSpec):
             axis=1,
         )
         tile_count = off[:, -1]
-        tile_begin = jnp.searchsorted(
-            skey, jnp.arange(n_tiles, dtype=i32) * (N_CLASSES * C),
-            side="left",
-        ).astype(i32)
+        # Start of each tile's segment in the sorted order — an
+        # exclusive cumsum of the per-tile counts (invalid entries key
+        # past every tile and sink to the tail).
+        tile_begin = jnp.concatenate(
+            [jnp.zeros(1, i32), jnp.cumsum(tile_count)[:-1]]
+        )
 
         kk = jnp.arange(K + PAD, dtype=i32)
         gidx = jnp.clip(tile_begin[:, None] + kk[None, :], 0, skey.shape[0] - 1)
