@@ -212,10 +212,8 @@ def config4(frames):
         Alignment, Font, Layout, Orientation, paths_of_text)
 
     width, height = 1920, 1080
-    with open(
-        "/root/reference/examples/fonts/OpenSans-Regular.ttf", "rb"
-    ) as fh:
-        font = Font("OpenSans", fh.read())
+    from contrast_renderer_tpu.assets import load_default_font
+    font = load_default_font()
     layout = Layout(
         size=16.0,
         orientation=Orientation.LEFT_TO_RIGHT,

@@ -24,11 +24,11 @@ from ..path import (
     Path,
     StrokeOptions,
 )
+from ..assets import load_default_font
 from ..renderer import DrawCommand, RenderOperation, Shape
 from ..text import Alignment, Font, Layout, Orientation, paths_of_text
 from ..utils import matrix
 
-OPEN_SANS_PATH = "/root/reference/examples/fonts/OpenSans-Regular.ttf"
 ROWS = 9
 COLUMNS = 5
 
@@ -62,8 +62,7 @@ def build_shape(font: Optional[Font] = None, with_text: bool = True) -> Shape:
     paths.append(rect)
     if with_text:
         if font is None:
-            with open(OPEN_SANS_PATH, "rb") as fh:
-                font = Font("OpenSans", fh.read())
+            font = load_default_font()
         text_paths = paths_of_text(
             font.face,
             Layout(

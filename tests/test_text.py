@@ -20,7 +20,9 @@ from contrast_renderer_tpu.text import (
     paths_of_text,
 )
 
-FONT_PATH = "/root/reference/examples/fonts/OpenSans-Regular.ttf"
+from contrast_renderer_tpu.assets import font_path
+
+FONT_PATH = font_path()
 
 import os
 
