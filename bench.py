@@ -40,39 +40,58 @@ def main():
     with_text = on_accelerator or bool(os.environ.get("BENCH_TEXT"))
 
     orbit = bool(os.environ.get("BENCH_ORBIT"))
+    # BENCH_CLIP=1: the nested-clip + transparency-group variant
+    # (BASELINE config 5 as written) — clip/alpha state compiles into
+    # the kernel and every covered tile pays the clip compare.
+    clip_alpha = bool(os.environ.get("BENCH_CLIP"))
+    config = (
+        Configuration(alpha_layer_count=1, blending="front_to_back")
+        if clip_alpha
+        else Configuration()
+    )
     # Interactive camera motion uses the deferred capacity check (one
     # frame of latency on buffer growth instead of a sync per frame).
     renderer = Renderer(
-        Configuration(), width, height, strict_capacity=not orbit,
+        config, width, height, strict_capacity=not orbit,
         tile_size=(int(os.environ["BENCH_TILE_H"])
                    if os.environ.get("BENCH_TILE_H") else None),
         fill_batch=(int(os.environ["BENCH_FILL_BATCH"])
                     if os.environ.get("BENCH_FILL_BATCH") else None),
     )
     shape = showcase.build_shape(with_text=with_text)
+    make_commands = (
+        showcase.showcase_commands_clip_alpha
+        if clip_alpha
+        else showcase.showcase_commands
+    )
     if on_accelerator:
-        commands = showcase.showcase_commands(shape, width, height)
+        commands = make_commands(shape, width, height)
     else:
-        commands = showcase.showcase_commands(shape, width, height)[:4]
+        commands = make_commands(shape, width, height)[:9 if clip_alpha else 4]
 
     if orbit:
         import math
 
         # Orbiting camera: instance transforms change per frame, so the
         # binning stage re-runs every frame (the showcase's mouse-orbit
-        # camera, examples/showcase/main.rs:255-274).
+        # camera, examples/showcase/main.rs:255-274).  The fused
+        # FrameProgram runs camera-binning-raster as ONE dispatch with
+        # the transform stack as a runtime input — the reference's
+        # "camera is just a matrix" economics.
+        program = renderer.compile_frame(commands)
+
         def frame(t):
             angle = 0.05 * t
             rotor = np.array(
                 [math.cos(angle / 2), 0.0, math.sin(angle / 2), 0.0]
             )
-            cmds = showcase.showcase_commands(
-                shape, width, height, view_rotation=rotor
+            transforms = showcase.command_transforms(
+                width, height, clip_alpha=clip_alpha, view_rotation=rotor
             )
             shape.set_dynamic_stroke_options(
                 0, showcase.dashed_options(t * 2.0)
             )
-            return renderer.render(cmds, to_host=False)
+            return program(transforms)
     else:
         def frame(t):
             shape.set_dynamic_stroke_options(
@@ -121,6 +140,7 @@ def main():
     label = (
         f"showcase_fps_{width}x{height}"
         + ("_orbit" if orbit else "")
+        + ("_clipalpha" if clip_alpha else "")
         + ("" if with_text else "_notext")
     )
     print(

@@ -291,6 +291,33 @@ def config5(frames):
         {"commands": len(commands), "vs_60fps": round(fps / 60.0, 3)},
     )
 
+    # Config 5 as written: nested clipping (2 levels) + a transparency
+    # group — the clip/alpha machinery compiles in (has_clip/has_alpha)
+    # and every covered tile pays the per-sample clip compare.
+    renderer_ca = Renderer(
+        Configuration(alpha_layer_count=1, blending="front_to_back"),
+        width, height,
+        tile_size=(int(os.environ["BENCH_TILE_H"])
+                   if os.environ.get("BENCH_TILE_H") else None),
+        fill_batch=(int(os.environ["BENCH_FILL_BATCH"])
+                    if os.environ.get("BENCH_FILL_BATCH") else None),
+    )
+    commands_ca = showcase.showcase_commands_clip_alpha(
+        shape, width, height
+    )
+
+    def frame_ca(i):
+        shape.set_dynamic_stroke_options(
+            0, showcase.dashed_options(i * 0.032)
+        )
+        return renderer_ca.render(commands_ca, to_host=False)
+
+    fps = _timed_frames(frame_ca, frames)
+    emit(
+        "config5_showcase_4k_clipalpha", fps, "frames/s",
+        {"commands": len(commands_ca), "vs_60fps": round(fps / 60.0, 3)},
+    )
+
 
 def main():
     parser = argparse.ArgumentParser()

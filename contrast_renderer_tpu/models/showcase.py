@@ -153,3 +153,128 @@ def showcase_commands(
             )
         )
     return commands
+
+
+def command_transforms(
+    width: int, height: int, clip_alpha: bool = False, **camera
+) -> np.ndarray:
+    """The per-command (C, 4, 4) transform stack matching
+    `showcase_commands` / `showcase_commands_clip_alpha` order — the
+    runtime input of a fused `FrameProgram` under camera animation (the
+    reference's camera is likewise just a per-frame matrix,
+    examples/showcase/main.rs:255-274)."""
+    transforms, _ = instance_transforms_and_colors(width, height, **camera)
+    stack = np.repeat(transforms, 2, axis=0)
+    if clip_alpha:
+        eye = np.broadcast_to(np.eye(4), (1, 4, 4))
+        stack = np.concatenate(
+            [np.repeat(eye, 6, axis=0), stack, np.repeat(eye, 3, axis=0)]
+        )
+    return np.ascontiguousarray(stack, np.float32)
+
+
+_CLIP_SHAPES = {}
+
+
+def _clip_shapes():
+    """Screen-space shapes for the clipped/grouped showcase variant:
+    two nested clip regions plus a full-screen cover for the
+    alpha-context operations (their LessEqual stencil state passes
+    everywhere, renderer.rs:761-766)."""
+    if not _CLIP_SHAPES:
+        _CLIP_SHAPES["outer"] = Shape(
+            [Path.from_rounded_rect((0.0, 0.0), (0.95, 0.92), 0.25)]
+        )
+        _CLIP_SHAPES["inner"] = Shape(
+            [Path.from_ellipse((0.0, 0.0), (0.92, 0.85))]
+        )
+        _CLIP_SHAPES["cover"] = Shape(
+            [Path.from_rect((0.0, 0.0), (1.0, 1.0))]
+        )
+    return _CLIP_SHAPES
+
+
+GROUP_OPACITY = 0.6
+
+
+def showcase_commands_clip_alpha(
+    shape: Shape, width: int, height: int, **camera
+) -> List[DrawCommand]:
+    """The showcase wrapped in two nested clip levels and one
+    transparency group — BASELINE.json config 5 as written ("nested
+    clipping + transparency layers").  Requires
+    ``Configuration(alpha_layer_count>=1, blending="front_to_back")``
+    (the reference's alpha-group algebra works in accumulated-occlusion
+    alpha space, renderer.rs:756-861).
+
+    Clip protocol per the reference doc example (renderer.rs:258-266):
+    Stencil the clip shape at the current depth, Clip to depth+1, draw
+    content at the new depth, UnClip back.  The clip shapes live in NDC
+    (identity transform), covering most of the viewport so nearly every
+    tile pays the clip-compare cost being measured.
+    """
+    shapes = _clip_shapes()
+    identity = np.eye(4, dtype=np.float32)
+    transforms, colors = instance_transforms_and_colors(width, height, **camera)
+    commands: List[DrawCommand] = [
+        # Nested clip level 1: rounded rect.
+        DrawCommand(RenderOperation.STENCIL, shapes["outer"], identity),
+        DrawCommand(
+            RenderOperation.CLIP, shapes["outer"], identity, clip_depth=1
+        ),
+        # Nested clip level 2: ellipse, clipped by level 1.
+        DrawCommand(
+            RenderOperation.STENCIL, shapes["inner"], identity, clip_depth=1
+        ),
+        DrawCommand(
+            RenderOperation.CLIP, shapes["inner"], identity, clip_depth=2
+        ),
+        # Transparency group around the whole instanced scene.
+        DrawCommand(
+            RenderOperation.SAVE_ALPHA_CONTEXT,
+            shapes["cover"],
+            identity,
+            clip_depth=2,
+            alpha_layer=0,
+        ),
+        DrawCommand(
+            RenderOperation.SCALE_ALPHA_CONTEXT,
+            shapes["cover"],
+            identity,
+            clip_depth=2,
+            color=(0.0, 0.0, 0.0, GROUP_OPACITY),
+        ),
+    ]
+    for transform, color in zip(transforms, colors):
+        commands.append(
+            DrawCommand(
+                RenderOperation.STENCIL, shape, transform, clip_depth=2
+            )
+        )
+        commands.append(
+            DrawCommand(
+                RenderOperation.COLOR,
+                shape,
+                transform,
+                color=tuple(color),
+                clip_depth=2,
+            )
+        )
+    commands += [
+        DrawCommand(
+            RenderOperation.RESTORE_ALPHA_CONTEXT,
+            shapes["cover"],
+            identity,
+            clip_depth=2,
+            color=(0.0, 0.0, 0.0, GROUP_OPACITY),
+            alpha_layer=0,
+        ),
+        # Unwind the clip stack: 2 → 1 → 0.
+        DrawCommand(
+            RenderOperation.UNCLIP, shapes["inner"], identity, clip_depth=1
+        ),
+        DrawCommand(
+            RenderOperation.UNCLIP, shapes["outer"], identity, clip_depth=0
+        ),
+    ]
+    return commands

@@ -46,7 +46,7 @@ def rect_adjusted_transform(transform, by, ny, bx, nx):
 def _sub_renderer(renderer, width, height, platform):
     from ..renderer import Renderer
 
-    return Renderer(
+    sub = Renderer(
         renderer.config,
         width,
         height,
@@ -57,6 +57,12 @@ def _sub_renderer(renderer, width, height, platform):
         tile_capacity=renderer.tile_capacity,
         interpret=(platform == "cpu"),
     )
+    # Inherit the outer renderer's (possibly pre-sized) binning
+    # capacities: every overflow retry recompiles the sharded program.
+    sub._global_capacity = renderer._global_capacity
+    sub._tile_global_capacity = renderer._tile_global_capacity
+    sub._clip_pool = renderer._clip_pool
+    return sub
 
 
 def _packed_pipeline(sub, commands):

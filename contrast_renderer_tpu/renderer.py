@@ -694,6 +694,11 @@ class Renderer:
             image = image + np.asarray(background, np.float32) * (1.0 - alpha)
         return image
 
+    def compile_frame(self, commands: Sequence[DrawCommand]) -> "FrameProgram":
+        """Compile a fused single-dispatch frame program for this
+        command structure (see :class:`FrameProgram`)."""
+        return FrameProgram(self, commands)
+
     @staticmethod
     @jax.jit
     def _quantize(image):
@@ -705,3 +710,133 @@ class Renderer:
         alpha = image[..., 3:4]
         image = image + background * (1.0 - alpha)
         return (jnp.clip(image, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+
+
+class FrameProgram:
+    """A fused frame step for a fixed command structure: binning +
+    raster kernel compiled as ONE jitted program with the instance
+    transforms as a runtime input.
+
+    `Renderer.render` dispatches prepare and rasterize separately and
+    keys its binning cache on the transform bytes — ideal for static
+    cameras (binning never re-runs), but a moving camera pays two
+    dispatches plus host cache bookkeeping per frame, which dominates on
+    remote-device links.  This program is the reference's cheap-camera
+    path (the camera is just a matrix, examples/showcase/main.rs:255-274):
+    per frame the host sends a (C, 4, 4) transform stack and receives
+    the frame in a single dispatch.
+
+    Dash-phase animation keeps working through
+    `Shape.set_dynamic_stroke_options`: descriptor tables are re-packed
+    (tiny, host-side) every call and passed as runtime inputs.
+
+    Binning overflow is checked asynchronously one frame behind (the
+    `strict_capacity=False` contract): a growing scene may render one
+    under-populated frame, then capacities regrow and the program
+    recompiles.
+    """
+
+    def __init__(self, renderer: Renderer, commands: Sequence[DrawCommand]):
+        self._renderer = renderer
+        self._commands = list(commands)
+        renderer._validate(self._commands)
+        self._shapes, shape_index = renderer._unique_shapes(self._commands)
+        self._ops = tuple(int(c.operation) for c in self._commands)
+        self._cmd_shape = tuple(
+            shape_index[id(c.shape)] for c in self._commands
+        )
+        # Settle binning capacities with one strict prepare so the
+        # compiled program starts at converged sizes.
+        was_strict = renderer.strict_capacity
+        renderer.strict_capacity = True
+        try:
+            renderer.render(self._commands, to_host=False)
+        finally:
+            renderer.strict_capacity = was_strict
+        self._pending = []
+        self._frame = 0
+        self._build()
+
+    def _build(self):
+        renderer = self._renderer
+        _, scene = renderer._scene_arrays(self._shapes)
+        self._scene = scene
+        spec = renderer._spec(self._ops, self._cmd_shape, scene)
+        self._spec = spec
+        prepare = coverage.make_prepare(spec)
+        rasterize = coverage.make_rasterize(spec)
+
+        def step(scene_arrays, transforms, desc_static, cmd_i, cmd_f,
+                 desc_f, desc_i):
+            prepared = prepare(*scene_arrays, transforms, desc_static)
+            image = rasterize(prepared, cmd_i, cmd_f, desc_f, desc_i)
+            return image, prepared.overflow
+
+        self._step = jax.jit(step)
+        cmd_i, cmd_f = Renderer._pack_commands_runtime(self._commands)
+        self._cmd_i = jnp.asarray(cmd_i)
+        self._cmd_f = jnp.asarray(cmd_f)
+
+    def __call__(self, transforms=None):
+        """Render one frame; returns the device-resident (H, W, 4)
+        image.  `transforms`: (n_commands, 4, 4) row-major model→clip
+        stack (defaults to the commands' stored transforms)."""
+        renderer = self._renderer
+        if transforms is None:
+            transforms = np.stack(
+                [np.asarray(c.transform, np.float32) for c in self._commands]
+            )
+        else:
+            transforms = np.ascontiguousarray(transforms, np.float32)
+        require_finite(transforms, "frame transforms")
+        self._frame += 1
+
+        # Consume landed overflow counters (≤1 frame of lag).
+        grew = False
+        keep = []
+        limits = (
+            self._spec.capacity,
+            self._spec.global_capacity,
+            self._spec.tile_global_capacity,
+            self._spec.clip_pool,
+        )
+        for overflow_arr, born in self._pending:
+            ready = getattr(overflow_arr, "is_ready", lambda: True)()
+            if ready or self._frame - born >= 2:
+                grew |= renderer._grow_capacities(
+                    np.asarray(overflow_arr), limits
+                )
+            else:
+                keep.append((overflow_arr, born))
+        self._pending = keep
+        if grew:
+            self._build()
+
+        # Geometry edits (Shape.update_paths) re-enter through the
+        # scene cache; a changed padded size rebuilds the program.
+        _, scene = renderer._scene_arrays(self._shapes)
+        if (scene.t_max, scene.h_max) != (
+            self._scene.t_max, self._scene.h_max
+        ):
+            self._scene = scene
+            self._build()
+        else:
+            self._scene = scene
+
+        desc_f, desc_i = Renderer._pack_descriptors(self._shapes)
+        desc_static = np.ascontiguousarray(desc_i[:, [9, 8]])
+        image, overflow = self._step(
+            self._scene.arrays,
+            transforms,
+            renderer._dev_cached("fp_desc_static", desc_static),
+            self._cmd_i,
+            self._cmd_f,
+            renderer._dev_cached("fp_desc_f", desc_f),
+            renderer._dev_cached("fp_desc_i", desc_i),
+        )
+        try:
+            overflow.copy_to_host_async()
+        except AttributeError:
+            pass
+        self._pending.append((overflow, self._frame))
+        return image

@@ -19,7 +19,9 @@ class TestShowcase:
     def test_full_shape_builds_with_text(self):
         import os
 
-        if not os.path.exists(showcase.OPEN_SANS_PATH):
+        from contrast_renderer_tpu.assets import font_path
+
+        if not os.path.exists(font_path()):
             pytest.skip("OpenSans test font unavailable")
         full = showcase.build_shape(with_text=True)
         # Dashed rounded-rect stroke + "Hello World" glyph fills.
@@ -36,6 +38,69 @@ class TestShowcase:
         assert np.isfinite(image).all()
         # The dashed rounded-rect stroke leaves visible pixels.
         assert (image[..., 3] > 0.1).sum() > 20
+
+    def test_clip_alpha_variant(self, shape):
+        """The clipped/grouped showcase (BASELINE config 5 as written):
+        outside the nested clips nothing renders; inside, front-to-back
+        group algebra scales the whole scene by the group opacity (with
+        a transparent backdrop, save=0 ⇒ restore leaves exactly g×scene,
+        renderer.rs:756-861)."""
+        size = 96
+        config = Configuration(
+            alpha_layer_count=1, blending="front_to_back"
+        )
+        renderer = Renderer(config, size, size)
+        # Center instance only (+ the 6-command prologue and 3-command
+        # epilogue) for budget.
+        full = showcase.showcase_commands_clip_alpha(shape, size, size)
+        commands = full[:8] + full[-3:]
+        assert [int(c.operation) for c in commands] == [
+            0, 1, 0, 1, 4, 5, 0, 3, 6, 2, 2,
+        ]
+        image = renderer.render(commands)
+        assert np.isfinite(image).all()
+        plain = Renderer(config, size, size).render(
+            showcase.showcase_commands(shape, size, size)[:2]
+        )
+        # Clip corners: outside the rounded outer clip rect.
+        assert np.abs(image[:2, :2]).max() == 0.0
+        assert np.abs(image[-2:, -2:]).max() == 0.0
+        # Interior: exactly opacity-scaled relative to the unclipped
+        # render (the ellipse clip covers the center instance).
+        center = slice(size // 4, 3 * size // 4)
+        diff = np.abs(
+            image[center, center] -
+            showcase.GROUP_OPACITY * plain[center, center]
+        )
+        assert diff.max() < 1e-5
+
+    def test_frame_program_matches_render(self, shape):
+        """The fused FrameProgram (one dispatch, transforms as runtime
+        input) renders the same pixels as Renderer.render for moved
+        cameras."""
+        size = 96
+        renderer = Renderer(Configuration(), size, size)
+        commands = showcase.showcase_commands(shape, size, size)[:4]
+        program = renderer.compile_frame(commands)
+        base = np.stack(
+            [np.asarray(c.transform, np.float32) for c in commands]
+        )
+        for angle in (0.0, 0.15):
+            rotor = np.array(
+                [np.cos(angle / 2), 0.0, np.sin(angle / 2), 0.0]
+            )
+            moved = showcase.command_transforms(
+                size, size, view_rotation=rotor
+            )[: len(commands)]
+            got = np.asarray(program(moved))
+            for c, t in zip(commands, moved):
+                c.transform = t
+            want = renderer.render(commands)
+            assert np.allclose(got, want, atol=1e-6), (
+                np.abs(got - want).max()
+            )
+        for c, t in zip(commands, base):
+            c.transform = t
 
     def test_dash_phase_animates(self, shape):
         size = 96
