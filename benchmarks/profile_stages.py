@@ -61,7 +61,7 @@ def main():
     _, scene = renderer._scene_arrays(shapes)
     ops = tuple(int(c.operation) for c in commands)
     cmd_shape = tuple(shape_index[id(c.shape)] for c in commands)
-    spec = renderer._spec(ops, cmd_shape, scene)
+    spec = renderer._spec(ops, cmd_shape, (), scene)
     prepare, rasterize = renderer._get_executors(spec)
     transforms = np.stack(
         [np.asarray(c.transform, np.float32) for c in commands]

@@ -138,10 +138,31 @@ def instance_transforms_and_colors(
 
 
 def showcase_commands(
-    shape: Shape, width: int, height: int, **camera
+    shape: Shape, width: int, height: int, instanced: bool = False, **camera
 ) -> List[DrawCommand]:
-    """Per-instance Stencil then Color (main.rs:236-250)."""
+    """The showcase frame.
+
+    ``instanced=False`` (default): per-instance Stencil then Color, the
+    draw loop the reference showcase runs (main.rs:236-250) — each
+    instance composites over the previous, which matters where the
+    large center instance overlaps the grid.
+
+    ``instanced=True``: ONE Stencil + ONE Color command carrying all 46
+    instance transforms/colors — the reference's single instanced draw
+    (``instance_range 0..n``, renderer.rs:267, 462-466).  As in the
+    reference, all instances' winding accumulates in the shared stencil
+    before any cover, so overlapping instances composite differently
+    from the per-instance loop; the per-tile command walk collapses
+    from 92 commands to one stencil unit plus the covering draws.
+    """
     transforms, colors = instance_transforms_and_colors(width, height, **camera)
+    if instanced:
+        return [
+            DrawCommand(RenderOperation.STENCIL, shape, transforms),
+            DrawCommand(
+                RenderOperation.COLOR, shape, transforms, color=colors
+            ),
+        ]
     commands: List[DrawCommand] = []
     for transform, color in zip(transforms, colors):
         commands.append(
@@ -156,15 +177,20 @@ def showcase_commands(
 
 
 def command_transforms(
-    width: int, height: int, clip_alpha: bool = False, **camera
+    width: int, height: int, clip_alpha: bool = False,
+    instanced: bool = False, **camera
 ) -> np.ndarray:
-    """The per-command (C, 4, 4) transform stack matching
+    """The per-draw (R, 4, 4) transform stack matching
     `showcase_commands` / `showcase_commands_clip_alpha` order — the
     runtime input of a fused `FrameProgram` under camera animation (the
     reference's camera is likewise just a per-frame matrix,
-    examples/showcase/main.rs:255-274)."""
+    examples/showcase/main.rs:255-274).  For the instanced command form
+    the rows are [stencil instances..., color instances...]."""
     transforms, _ = instance_transforms_and_colors(width, height, **camera)
-    stack = np.repeat(transforms, 2, axis=0)
+    if instanced:
+        stack = np.concatenate([transforms, transforms])
+    else:
+        stack = np.repeat(transforms, 2, axis=0)
     if clip_alpha:
         eye = np.broadcast_to(np.eye(4), (1, 4, 4))
         stack = np.concatenate(

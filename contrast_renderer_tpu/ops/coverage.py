@@ -163,10 +163,10 @@ DESC_I = 16
 class FrameSpec:
     """Static signature of a frame program.
 
-    ``ops`` / ``cmd_shape`` fix the command structure; everything that
-    animates per frame (transforms, colors, clip depths, dash
-    descriptors) stays a runtime input, so re-rendering with new values
-    reuses the compiled program.
+    ``ops`` / ``cmd_shape`` / ``cmd_inst`` fix the command structure;
+    everything that animates per frame (transforms, colors, clip
+    depths, dash descriptors) stays a runtime input, so re-rendering
+    with new values reuses the compiled program.
     """
 
     width: int
@@ -180,6 +180,11 @@ class FrameSpec:
     winding_bits: int
     n_layers: int
     blending: str
+    #: Per-command instance counts (the reference's instance_range,
+    #: renderer.rs:267, 462-466): a stencil command accumulates winding
+    #: from all its instances' triangles; a cover command replays its
+    #: per-instance hull covers in instance order.  () = all 1.
+    cmd_inst: tuple = ()
     tile_h: int = 32
     tile_w: int = 128
     capacity: int = 256             # per-tile local entry rows
@@ -225,11 +230,11 @@ class PreparedFrame(NamedTuple):
     g_tri_i: jnp.ndarray  # (n_tiles, Kg, D_I)
     g_off: jnp.ndarray    # (n_tiles, 1, 5C+1)
     bulk: jnp.ndarray     # (n_tiles, 1, C) trivially-accepted solid winding
-    cls: jnp.ndarray      # (n_tiles, 1, C) cover class 0/1/2
-    hbits: jnp.ndarray    # (n_tiles, 1, C) crossing hull-line bitmask
-    aclist: jnp.ndarray   # (n_tiles, 1, C) active command indices
+    cls: jnp.ndarray      # (n_tiles, 1, Rc) cover-draw class 0/1/2
+    hbits: jnp.ndarray    # (n_tiles, 1, Rc) crossing hull-line bitmask
+    aclist: jnp.ndarray   # (n_tiles, 1, U) active unit indices
     acount: jnp.ndarray   # (n_tiles, 1, 1)
-    hull_lines: jnp.ndarray  # (C, Hm, 4) inward-oriented pixel lines
+    hull_lines: jnp.ndarray  # (Rc, Hm, 4) inward-oriented pixel lines
     overflow: jnp.ndarray    # (4,) max local count, global count,
     #                          max tile globals, near-plane crossings
 
@@ -237,6 +242,69 @@ class PreparedFrame(NamedTuple):
 # ---------------------------------------------------------------------------
 # prepare: setup + binning (plain XLA)
 # ---------------------------------------------------------------------------
+
+
+class DrawTables(NamedTuple):
+    """Static (compile-time) expansion of the command list into draws.
+
+    A *draw* is one (command, instance) pair.  Stencil draws contribute
+    triangle rows; cover draws contribute one hull cover each.  A *unit*
+    is one kernel walk step in global draw order: a whole stencil
+    command (all its instances' triangles share its entry ranges) or a
+    single cover draw.
+    """
+
+    inst: np.ndarray        # (C,) per-command instance count
+    row_base: np.ndarray    # (C+1,) transform-row offset per command
+    s_cmd: np.ndarray       # (Rs,) stencil draw → command
+    s_row: np.ndarray       # (Rs,) stencil draw → transform row
+    c_cmd: np.ndarray       # (Rc,) cover draw → command
+    c_row: np.ndarray       # (Rc,) cover draw → transform row
+    unit_cmd: np.ndarray    # (U,) unit → command
+    unit_draw: np.ndarray   # (U,) unit → cover draw (-1 for stencil)
+
+
+def draw_tables(spec: FrameSpec) -> DrawTables:
+    C = spec.n_commands
+    ops = np.asarray(spec.ops, np.int32)
+    inst = np.asarray(
+        spec.cmd_inst if spec.cmd_inst else (1,) * C, np.int32
+    )
+    assert len(inst) == C and (inst >= 1).all()
+    row_base = np.concatenate([[0], np.cumsum(inst)]).astype(np.int32)
+    s_cmd, s_row, c_cmd, c_row = [], [], [], []
+    unit_cmd, unit_draw = [], []
+    for c in range(C):
+        rows = range(int(row_base[c]), int(row_base[c + 1]))
+        if ops[c] == OP_STENCIL:
+            s_cmd += [c] * int(inst[c])
+            s_row += list(rows)
+            unit_cmd.append(c)
+            unit_draw.append(-1)
+        else:
+            for r in rows:
+                unit_cmd.append(c)
+                unit_draw.append(len(c_cmd))
+                c_cmd.append(c)
+                c_row.append(r)
+    # Zero-size operands crash the TPU compiler; bind dummy draws that
+    # no unit references (the kernel reads stencil ranges only under
+    # op == STENCIL and cover state only through unit_draw >= 0).
+    if not s_cmd:
+        s_cmd, s_row = [0], [0]
+    if not c_cmd:
+        c_cmd, c_row = [0], [0]
+    i32 = np.int32
+    return DrawTables(
+        inst=inst,
+        row_base=row_base,
+        s_cmd=np.asarray(s_cmd, i32),
+        s_row=np.asarray(s_row, i32),
+        c_cmd=np.asarray(c_cmd, i32),
+        c_row=np.asarray(c_row, i32),
+        unit_cmd=np.asarray(unit_cmd, i32),
+        unit_draw=np.asarray(unit_draw, i32),
+    )
 
 
 def _corner_min_max(a, b, c, x0, y0, tw, th):
@@ -250,17 +318,11 @@ def _corner_min_max(a, b, c, x0, y0, tw, th):
 
 def make_prepare(spec: FrameSpec):
     C = spec.n_commands
-    ops = np.asarray(spec.ops, np.int32)
     cmd_shape = np.asarray(spec.cmd_shape, np.int32)
-    stencil_sel = np.nonzero(ops == OP_STENCIL)[0].astype(np.int32)
-    # Zero-size operands crash the TPU compiler; a cover-only frame
-    # binds command 0 as a dummy stencil selection instead.  Its binned
-    # ranges are harmless: the kernel only reads stencil ranges under
-    # op == STENCIL, which command 0 is not in such a frame.
-    if len(stencil_sel) == 0:
-        stencil_sel = np.zeros(1, np.int32)
-    Cs = len(stencil_sel)
-    cover_sel = np.nonzero(ops != OP_STENCIL)[0].astype(np.int32)
+    draws = draw_tables(spec)
+    Rs = len(draws.s_cmd)
+    Rc = len(draws.c_cmd)
+    U = len(draws.unit_cmd)
     T = spec.t_max
     Hm = spec.h_max
     W, H = spec.width, spec.height
@@ -276,7 +338,9 @@ def make_prepare(spec: FrameSpec):
 
     def prepare(xy, aux, kind, meta, gbase, hull, transforms, desc_static):
         """xy (Ns,T,3,2) aux (Ns,T,3,4) kind (Ns,T) meta (Ns,T,2)
-        gbase (Ns,) hull (Ns,Hm,2) transforms (C,4,4)
+        gbase (Ns,) hull (Ns,Hm,2) transforms (R,4,4) — one row per
+        (command, instance) draw, commands in order
+        (see DrawTables / FrameSpec.cmd_inst);
         desc_static (n_groups, 2) = [dashed, last_interval] per stroke
         group — determines each stroke entry's dash class so the kernel
         dispatches statically (re-binning when a pattern's interval
@@ -284,12 +348,12 @@ def make_prepare(spec: FrameSpec):
         f32 = jnp.float32
         i32 = jnp.int32
 
-        # ---- per-stencil-command triangle setup -----------------------
-        sidx = jnp.asarray(stencil_sel)
-        sshape = jnp.asarray(cmd_shape[stencil_sel])
-        sxy = xy[sshape]                     # (Cs, T, 3, 2)
+        # ---- per-stencil-draw triangle setup --------------------------
+        s_cmd = jnp.asarray(draws.s_cmd)
+        sshape = jnp.asarray(cmd_shape[draws.s_cmd])
+        sxy = xy[sshape]                     # (Rs, T, 3, 2)
         saux = aux[sshape]
-        stf = transforms[sidx]               # (Cs, 4, 4)
+        stf = transforms[jnp.asarray(draws.s_row)]   # (Rs, 4, 4)
 
         v = jnp.concatenate(
             [sxy, jnp.zeros(sxy.shape[:-1] + (1,), f32),
@@ -300,13 +364,13 @@ def make_prepare(spec: FrameSpec):
         )
 
         # ---- flatten to rows (one row per screen triangle) ------------
-        N0 = Cs * T
+        N0 = Rs * T
         clip_flat = clip.reshape(N0, 3, 4)
         aux_flat = saux.reshape(N0, 3, 4)
         kind_flat = kind[sshape].reshape(N0)
         meta_flat = meta[sshape].reshape(N0, 2)
         gbase_flat = jnp.repeat(gbase[sshape], T)
-        cmd_flat = jnp.repeat(sidx, T)
+        cmd_flat = jnp.repeat(s_cmd, T)
 
         # ---- near-plane clipping of crossing triangles -----------------
         # The GPU hardware clips primitives against w > 0 before
@@ -684,14 +748,12 @@ def make_prepare(spec: FrameSpec):
         tile_g_count = g_off[:, -1]
         g_off = jnp.minimum(g_off, Kg)
 
-        # ---- cover commands: near-plane clip + hull lines + class ------
-        # Computed for cover commands only (gather → scatter): stencil
-        # commands never read their hull rows.
-        cov_sel = cover_sel if len(cover_sel) else np.zeros(1, np.int32)
-        Cc = len(cov_sel)
-        cov_idx = jnp.asarray(cov_sel)
-        hp = hull[jnp.asarray(cmd_shape[cov_sel])]     # (Cc, Hm, 2)
-        ctf = transforms[cov_idx]                      # (Cc, 4, 4)
+        # ---- cover draws: near-plane clip + hull lines + class ---------
+        # Computed per cover draw (one hull cover per (command,
+        # instance)); stencil draws never read hull rows.
+        hp = hull[jnp.asarray(cmd_shape[draws.c_cmd])]   # (Rc, Hm, 2)
+        ctf = transforms[jnp.asarray(draws.c_row)]       # (Rc, 4, 4)
+        Cc = Rc
         ones = jnp.ones((Cc, Hm, 1), f32)
         hclip = jnp.einsum(
             "chk,crk->chr",
@@ -751,9 +813,9 @@ def make_prepare(spec: FrameSpec):
         ha = jnp.where(degenerate, 0.0, ha)
         hb = jnp.where(degenerate, 0.0, hb)
         hc = jnp.where(degenerate, 1.0, hc)
-        hull_lines = jnp.zeros((C, H2, 4), f32).at[cov_idx].set(
-            jnp.stack([ha, hb, hc, jnp.zeros_like(ha)], axis=-1)
-        )
+        hull_lines = jnp.stack(
+            [ha, hb, hc, jnp.zeros_like(ha)], axis=-1
+        )  # (Rc, H2, 4)
 
         hx_min = jnp.min(hx, axis=-1)
         hx_max = jnp.max(hx, axis=-1)
@@ -785,33 +847,35 @@ def make_prepare(spec: FrameSpec):
             h_accept = h_accept & (lo > 0.0)
             h_bits = h_bits | jnp.where(lo > 0.0, 0, 1 << h_index)
         h_over = hovy[:, :, None] & hovx[:, None, :] & hvalid[:, None, None]
-        cls_cov = jnp.where(
+        cls = jnp.where(
             h_over,
             jnp.where(h_accept, 2, jnp.where(h_reject, 0, 1)),
             0,
-        ).astype(i32)
-        cls = jnp.zeros((n_tiles, C), i32).at[:, cov_idx].set(
-            cls_cov.transpose(1, 2, 0).reshape(n_tiles, Cc)
-        )
-        hbits = jnp.zeros((n_tiles, C), i32).at[:, cov_idx].set(
-            h_bits.transpose(1, 2, 0).reshape(n_tiles, Cc)
-        )
+        ).astype(i32).transpose(1, 2, 0).reshape(n_tiles, Rc)
+        hbits = h_bits.transpose(1, 2, 0).reshape(n_tiles, Rc)
 
-        # ---- active command list ---------------------------------------
-        # count for cmd c = off[:, 5c+5] - off[:, 5c]
+        # ---- active unit list ------------------------------------------
+        # A unit is a kernel walk step in global draw order: a whole
+        # stencil command or one cover draw (see DrawTables).
         start = off[:, 0:N_CLASSES * C:N_CLASSES]
         end = off[:, N_CLASSES:N_CLASSES * C + 1:N_CLASSES]
         local_any = (end - start) > 0
         g_start = g_off[:, 0:N_CLASSES * C:N_CLASSES]
         g_end = g_off[:, N_CLASSES:N_CLASSES * C + 1:N_CLASSES]
         global_any = (g_end - g_start) > 0
-        active = local_any | global_any | (bulk != 0) | (cls > 0)
-        # Compact active command indices per tile by a row-wise sort
-        # (inactive slots key to C and sink to the tail) — cheaper than
+        stencil_active = local_any | global_any | (bulk != 0)
+        cover_active = cls > 0
+        # Static column gathers route each unit to its activity source.
+        act_s = stencil_active[:, jnp.asarray(draws.unit_cmd)]
+        act_c = cover_active[:, jnp.asarray(np.maximum(draws.unit_draw, 0))]
+        is_cover_u = jnp.asarray(draws.unit_draw >= 0)
+        active = jnp.where(is_cover_u[None, :], act_c, act_s)
+        # Compact active unit indices per tile by a row-wise sort
+        # (inactive slots key to U and sink to the tail) — cheaper than
         # a scatter on TPU and order-preserving.
         aclist = jnp.sort(
             jnp.where(
-                active, jnp.arange(C, dtype=i32)[None, :], jnp.int32(C)
+                active, jnp.arange(U, dtype=i32)[None, :], jnp.int32(U)
             ),
             axis=1,
         )
@@ -957,6 +1021,9 @@ def _dash_mask_general(desc_f_row, desc_i_row, tex_x, tex_y):
 
 def make_rasterize(spec: FrameSpec):
     C = spec.n_commands
+    draws = draw_tables(spec)
+    Rc = len(draws.c_cmd)
+    U = len(draws.unit_cmd)
     # Hull lines after near-plane clipping (prepare) have h_max+2 rows.
     Hm = spec.h_max + 2
     W, H = spec.width, spec.height
@@ -988,7 +1055,8 @@ def make_rasterize(spec: FrameSpec):
     )
 
     def kernel(
-        cmd_i, cmd_f, acount, aclist, off, g_off, bulk, cls, hbits,
+        cmd_i, cmd_f, unit_cmd_s, unit_draw_s, acount, aclist, off,
+        g_off, bulk, cls, hbits,
         tri_f, tri_i, g_tri_f, g_tri_i, hull_lines, desc_f, desc_i,
         out_ref, *scratch,
     ):
@@ -1266,7 +1334,11 @@ def make_rasterize(spec: FrameSpec):
                 wind[s] = wind[s] + delta
 
         def cmd_body(k, carry):
-            c = aclist[0, 0, k]
+            # A unit is a whole stencil command or one cover draw
+            # (instance); the walk replays units in global draw order.
+            uid = aclist[0, 0, k]
+            c = unit_cmd_s[uid]
+            d = unit_draw_s[uid]  # cover-draw index; -1 for stencil
             op = cmd_i[c, 0]
             depth = cmd_i[c, 1]
             layer = cmd_i[c, 2]
@@ -1396,7 +1468,7 @@ def make_rasterize(spec: FrameSpec):
             @pl.when((op != OP_STENCIL) & sel_ok if not has_clip
                      else op != OP_STENCIL)
             def _cover():
-                cl = cls[0, 0, c]
+                cl = cls[0, 0, d]
 
                 @pl.when(cl > 0)
                 def _active():
@@ -1409,15 +1481,15 @@ def make_rasterize(spec: FrameSpec):
                         # Only the hull lines that actually cross this
                         # tile (prepare's bitmask) are evaluated; padded
                         # and non-crossing lines are skipped.
-                        bits = hbits[0, 0, c]
+                        bits = hbits[0, 0, d]
                         maskb[...] = jnp.ones((S, th, tw), jnp.int32)
                         for h_index in range(Hm):
                             @pl.when(((bits >> h_index) & 1) != 0)
                             def _line(h_index=h_index):
                                 he = (
-                                    hull_lines[c, h_index, 0] * px
-                                    + hull_lines[c, h_index, 1] * py
-                                    + hull_lines[c, h_index, 2]
+                                    hull_lines[d, h_index, 0] * px
+                                    + hull_lines[d, h_index, 1] * py
+                                    + hull_lines[d, h_index, 2]
                                 )
                                 maskb[...] = maskb[...] & (
                                     he >= 0.0
@@ -1425,10 +1497,12 @@ def make_rasterize(spec: FrameSpec):
 
                     in_hull = maskb[...] != 0
                     nonzero = (wind[...] & winding_mask) != 0
-                    cr = cmd_f[c, 0]
-                    cg = cmd_f[c, 1]
-                    cb = cmd_f[c, 2]
-                    ca = cmd_f[c, 3]
+                    # Per-draw color: the reference's instance-rate
+                    # color attribute (renderer.rs:462-466).
+                    cr = cmd_f[d, 0]
+                    cg = cmd_f[d, 1]
+                    cb = cmd_f[d, 2]
+                    ca = cmd_f[d, 3]
 
                     @pl.when(op == OP_COLOR)
                     def _color():
@@ -1550,9 +1624,11 @@ def make_rasterize(spec: FrameSpec):
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),                       # cmd_i
         pl.BlockSpec(memory_space=pltpu.SMEM),                       # cmd_f
+        pl.BlockSpec(memory_space=pltpu.SMEM),                       # unit_cmd
+        pl.BlockSpec(memory_space=pltpu.SMEM),                       # unit_draw
         pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),                       # acount
-        pl.BlockSpec((1, 1, C), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, 1, U), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),                       # aclist
         pl.BlockSpec((1, 1, N_CLASSES * C + 1), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),                       # off
@@ -1560,9 +1636,9 @@ def make_rasterize(spec: FrameSpec):
                      memory_space=pltpu.SMEM),                       # g_off
         pl.BlockSpec((1, 1, C), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),                       # bulk
-        pl.BlockSpec((1, 1, C), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, 1, Rc), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),                       # cls
-        pl.BlockSpec((1, 1, C), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, 1, Rc), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),                       # hbits
         pl.BlockSpec((1, K + PAD, D_F), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),                       # tri_f
@@ -1596,9 +1672,12 @@ def make_rasterize(spec: FrameSpec):
         interpret=spec.interpret,
     )
 
+    unit_cmd_dev = jnp.asarray(draws.unit_cmd)
+    unit_draw_dev = jnp.asarray(draws.unit_draw)
+
     def rasterize(prepared: PreparedFrame, cmd_i, cmd_f, desc_f, desc_i):
         tiles = raster_call(
-            cmd_i, cmd_f,
+            cmd_i, cmd_f, unit_cmd_dev, unit_draw_dev,
             prepared.acount, prepared.aclist, prepared.off, prepared.g_off,
             prepared.bulk, prepared.cls, prepared.hbits,
             prepared.tri_f, prepared.tri_i,

@@ -73,7 +73,7 @@ def _packed_pipeline(sub, commands):
     _, scene = sub._scene_arrays(shapes)
     ops = tuple(int(c.operation) for c in commands)
     cmd_shape = tuple(shape_index[id(c.shape)] for c in commands)
-    spec = sub._spec(ops, cmd_shape, scene)
+    spec = sub._spec(ops, cmd_shape, (), scene)
     prepare, rasterize = sub._get_executors(spec)
     cmd_i, cmd_f = Renderer._pack_commands_runtime(commands)
     desc_f, desc_i = Renderer._pack_descriptors(shapes)

@@ -269,14 +269,27 @@ class Shape:
 @dataclass
 class DrawCommand:
     """One step of a frame (the reference's Shape::render call with a
-    RenderOperation, renderer.rs:267-355)."""
+    RenderOperation and an instance range, renderer.rs:267-355).
+
+    ``transform`` may be a single (4, 4) matrix or an (N, 4, 4) stack —
+    the reference's instanced draw with instance-rate transform/color
+    attributes (renderer.rs:462-466): a stencil command accumulates
+    winding from all N instances' triangles before any cover runs; a
+    cover command replays its N per-instance hull covers in instance
+    order.  ``color`` is then (4,) (shared) or (N, 4) (per instance).
+    """
 
     operation: RenderOperation
     shape: Shape
-    transform: np.ndarray  # (4, 4) row-major model→clip
-    color: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 1.0)
+    transform: np.ndarray  # (4, 4) or (N, 4, 4) row-major model→clip
+    color: object = (0.0, 0.0, 0.0, 1.0)  # (4,) or (N, 4)
     clip_depth: int = 0  # reference set_clip_depth (renderer.rs:931-938)
     alpha_layer: int = 0
+
+    @property
+    def n_instances(self) -> int:
+        t = np.asarray(self.transform)
+        return 1 if t.ndim == 2 else int(t.shape[0])
 
 
 class _SceneArrays:
@@ -424,6 +437,24 @@ class Renderer:
                 RenderOperation.RESTORE_ALPHA_CONTEXT,
             ) and command.alpha_layer >= config.alpha_layer_count:
                 raise TooManyNestedOpacityGroups(str(command.alpha_layer))
+            color = np.asarray(command.color)
+            if color.ndim == 2 and color.shape[0] not in (
+                1, command.n_instances
+            ):
+                raise ValueError(
+                    f"per-instance color count {color.shape[0]} does not "
+                    f"match {command.n_instances} instances"
+                )
+
+    @staticmethod
+    def _pack_transforms(commands) -> np.ndarray:
+        """Stack every command's instance transforms into the (R, 4, 4)
+        draw-row layout of coverage.draw_tables."""
+        rows = [
+            np.asarray(c.transform, np.float32).reshape(-1, 4, 4)
+            for c in commands
+        ]
+        return np.ascontiguousarray(np.concatenate(rows))
 
     def _unique_shapes(self, commands):
         shapes = []
@@ -444,7 +475,7 @@ class Renderer:
             self._scene_cache[key] = scene
         return key, scene
 
-    def _spec(self, ops, cmd_shape, scene) -> coverage.FrameSpec:
+    def _spec(self, ops, cmd_shape, cmd_inst, scene) -> coverage.FrameSpec:
         # Auto-tuning by scene density (padded triangles per shape is
         # the static proxy for per-tile entry range length).  Measured
         # on v5e (BASELINE configs): a 296k-triangle glyph scene runs
@@ -465,6 +496,7 @@ class Renderer:
             height=self.height,
             ops=ops,
             cmd_shape=cmd_shape,
+            cmd_inst=cmd_inst,
             n_shapes=scene.n_shapes,
             t_max=scene.t_max,
             h_max=scene.h_max,
@@ -517,6 +549,11 @@ class Renderer:
 
     @staticmethod
     def _pack_commands_runtime(commands):
+        """cmd_i is per command; cmd_f holds one color row per *cover
+        draw* — the (command, instance) expansion of every non-stencil
+        command, in the order coverage.draw_tables enumerates them (the
+        reference's instance-rate color attribute, renderer.rs:462-466).
+        """
         cmd_i = np.array(
             [
                 [int(c.operation), c.clip_depth, c.alpha_layer, 0]
@@ -524,8 +561,21 @@ class Renderer:
             ],
             np.int32,
         )
-        cmd_f = np.zeros((len(commands), 8), np.float32)
-        cmd_f[:, 0:4] = [c.color for c in commands]
+        rows = []
+        for c in commands:
+            if c.operation == RenderOperation.STENCIL:
+                continue
+            color = np.asarray(c.color, np.float32).reshape(-1, 4)
+            rows.append(
+                np.broadcast_to(color, (c.n_instances, 4))
+                if color.shape[0] == 1
+                else color
+            )
+        colors = (
+            np.concatenate(rows) if rows else np.zeros((1, 4), np.float32)
+        )
+        cmd_f = np.zeros((len(colors), 8), np.float32)
+        cmd_f[:, 0:4] = colors
         return cmd_i, cmd_f
 
     def _dev_cached(self, name: str, arr: np.ndarray):
@@ -603,9 +653,9 @@ class Renderer:
         scene_key, scene = self._scene_arrays(shapes)
         ops = tuple(int(c.operation) for c in commands)
         cmd_shape = tuple(shape_index[id(c.shape)] for c in commands)
-        transforms = np.stack(
-            [np.asarray(c.transform, np.float32) for c in commands]
-        )
+        inst = tuple(c.n_instances for c in commands)
+        cmd_inst = inst if any(n != 1 for n in inst) else ()
+        transforms = self._pack_transforms(commands)
         require_finite(transforms, "command transforms")
         desc_f, desc_i = self._pack_descriptors(shapes)
         # Dash statics (dashed flag, interval count) route stroke
@@ -614,7 +664,7 @@ class Renderer:
         desc_static = np.ascontiguousarray(desc_i[:, [9, 8]])
 
         for _attempt in range(4):
-            spec = self._spec(ops, cmd_shape, scene)
+            spec = self._spec(ops, cmd_shape, cmd_inst, scene)
             prepare, rasterize = self._get_executors(spec)
             pkey = (
                 spec, scene_key, transforms.tobytes(), desc_static.tobytes()
@@ -745,6 +795,8 @@ class FrameProgram:
         self._cmd_shape = tuple(
             shape_index[id(c.shape)] for c in self._commands
         )
+        inst = tuple(c.n_instances for c in self._commands)
+        self._cmd_inst = inst if any(n != 1 for n in inst) else ()
         # Settle binning capacities with one strict prepare so the
         # compiled program starts at converged sizes.
         was_strict = renderer.strict_capacity
@@ -761,7 +813,9 @@ class FrameProgram:
         renderer = self._renderer
         _, scene = renderer._scene_arrays(self._shapes)
         self._scene = scene
-        spec = renderer._spec(self._ops, self._cmd_shape, scene)
+        spec = renderer._spec(
+            self._ops, self._cmd_shape, self._cmd_inst, scene
+        )
         self._spec = spec
         prepare = coverage.make_prepare(spec)
         rasterize = coverage.make_rasterize(spec)
@@ -779,15 +833,17 @@ class FrameProgram:
 
     def __call__(self, transforms=None):
         """Render one frame; returns the device-resident (H, W, 4)
-        image.  `transforms`: (n_commands, 4, 4) row-major model→clip
-        stack (defaults to the commands' stored transforms)."""
+        image.  `transforms`: an (R, 4, 4) row-major model→clip stack
+        with one row per (command, instance) draw — R equals the sum of
+        the commands' instance counts (defaults to the commands' stored
+        transforms)."""
         renderer = self._renderer
         if transforms is None:
-            transforms = np.stack(
-                [np.asarray(c.transform, np.float32) for c in self._commands]
-            )
+            transforms = Renderer._pack_transforms(self._commands)
         else:
-            transforms = np.ascontiguousarray(transforms, np.float32)
+            transforms = np.ascontiguousarray(
+                transforms, np.float32
+            ).reshape(-1, 4, 4)
         require_finite(transforms, "frame transforms")
         self._frame += 1
 

@@ -415,3 +415,100 @@ class TestKernelSpecializations:
         # Disjoint parts keep their own color.
         assert np.allclose(image[32, 18, :3], [0.25, 0.0, 0.0], atol=1e-5)
         assert np.allclose(image[32, 46, :3], [0.0, 0.5, 0.0], atol=1e-5)
+
+
+class TestInstancing:
+    """Single-draw instancing (reference instance_range + instance-rate
+    transform/color attributes, renderer.rs:267, 462-466): a stencil
+    command accumulates winding from all its instances, cover commands
+    replay per-instance hull covers in instance order."""
+
+    def test_instanced_equals_expanded_disjoint(self, renderer):
+        shape = Shape([Path.from_rect((10, 32), (6, 6))])
+        tfs = np.stack([ortho(), translate(20, 0), translate(40, 8)])
+        colors = np.array(
+            [[1, 0, 0, 1], [0, 1, 0, 0.5], [0, 0, 1, 0.25]], np.float32
+        )
+        instanced = renderer.render(
+            [
+                DrawCommand(RenderOperation.STENCIL, shape, tfs),
+                DrawCommand(
+                    RenderOperation.COLOR, shape, tfs, color=colors
+                ),
+            ]
+        )
+        expanded = []
+        for i in range(3):
+            expanded += stencil_color(shape, tfs[i], tuple(colors[i]))
+        assert np.array_equal(instanced, renderer.render(expanded))
+        assert instanced[..., 3].max() > 0.5
+
+    def test_instanced_equals_grouped_overlapping(self, renderer):
+        """Overlapping instances: winding accumulates across ALL
+        instances before any cover — matching the grouped expansion
+        [stencil×N, color×N], not interleaved pairs."""
+        shape = Shape([Path.from_rect((30, 32), (16, 16))])
+        tfs = np.stack([ortho(), translate(8, 4)])
+        colors = np.array([[1, 0, 0, 1], [0, 0, 1, 0.5]], np.float32)
+        instanced = renderer.render(
+            [
+                DrawCommand(RenderOperation.STENCIL, shape, tfs),
+                DrawCommand(
+                    RenderOperation.COLOR, shape, tfs, color=colors
+                ),
+            ]
+        )
+        grouped = renderer.render(
+            [
+                DrawCommand(RenderOperation.STENCIL, shape, tfs[0]),
+                DrawCommand(RenderOperation.STENCIL, shape, tfs[1]),
+                DrawCommand(
+                    RenderOperation.COLOR, shape, tfs[0],
+                    color=tuple(colors[0]),
+                ),
+                DrawCommand(
+                    RenderOperation.COLOR, shape, tfs[1],
+                    color=tuple(colors[1]),
+                ),
+            ]
+        )
+        assert np.array_equal(instanced, grouped)
+        assert instanced[..., 3].max() > 0.5
+
+    def test_shared_color_broadcasts(self, renderer):
+        shape = Shape([Path.from_circle((8, 8), 5)])
+        tfs = np.stack([ortho(), translate(16, 16), translate(32, 32)])
+        one = renderer.render(
+            [
+                DrawCommand(RenderOperation.STENCIL, shape, tfs),
+                DrawCommand(
+                    RenderOperation.COLOR, shape, tfs, color=(0, 1, 0, 1)
+                ),
+            ]
+        )
+        many = renderer.render(
+            [
+                DrawCommand(RenderOperation.STENCIL, shape, tfs),
+                DrawCommand(
+                    RenderOperation.COLOR, shape, tfs,
+                    color=np.tile(
+                        np.asarray([0, 1, 0, 1], np.float32), (3, 1)
+                    ),
+                ),
+            ]
+        )
+        assert np.array_equal(one, many)
+
+    def test_mismatched_color_count_raises(self, renderer):
+        shape = Shape([Path.from_circle((8, 8), 5)])
+        tfs = np.stack([ortho(), translate(16, 16)])
+        with pytest.raises(ValueError):
+            renderer.render(
+                [
+                    DrawCommand(RenderOperation.STENCIL, shape, tfs),
+                    DrawCommand(
+                        RenderOperation.COLOR, shape, tfs,
+                        color=np.zeros((3, 4), np.float32),
+                    ),
+                ]
+            )
