@@ -40,6 +40,10 @@ def main():
     with_text = on_accelerator or bool(os.environ.get("BENCH_TEXT"))
 
     orbit = bool(os.environ.get("BENCH_ORBIT"))
+    # BENCH_INSTANCED=1: one Stencil + one Color command carrying all
+    # 46 instances (the reference's instance_range 0..n draw,
+    # renderer.rs:267) instead of the per-instance command loop.
+    instanced = bool(os.environ.get("BENCH_INSTANCED"))
     # BENCH_CLIP=1: the nested-clip + transparency-group variant
     # (BASELINE config 5 as written) — clip/alpha state compiles into
     # the kernel and every covered tile pays the clip compare.
@@ -64,10 +68,13 @@ def main():
         if clip_alpha
         else showcase.showcase_commands
     )
+    kwargs = {} if clip_alpha else {"instanced": instanced}
     if on_accelerator:
-        commands = make_commands(shape, width, height)
+        commands = make_commands(shape, width, height, **kwargs)
     else:
-        commands = make_commands(shape, width, height)[:9 if clip_alpha else 4]
+        commands = make_commands(
+            shape, width, height, **kwargs
+        )[:9 if clip_alpha else 4]
 
     if orbit:
         import math
@@ -86,7 +93,9 @@ def main():
                 [math.cos(angle / 2), 0.0, math.sin(angle / 2), 0.0]
             )
             transforms = showcase.command_transforms(
-                width, height, clip_alpha=clip_alpha, view_rotation=rotor
+                width, height, clip_alpha=clip_alpha,
+                instanced=instanced and not clip_alpha,
+                view_rotation=rotor,
             )
             shape.set_dynamic_stroke_options(
                 0, showcase.dashed_options(t * 2.0)
@@ -141,6 +150,7 @@ def main():
         f"showcase_fps_{width}x{height}"
         + ("_orbit" if orbit else "")
         + ("_clipalpha" if clip_alpha else "")
+        + ("_instanced" if instanced and not clip_alpha else "")
         + ("" if with_text else "_notext")
     )
     print(

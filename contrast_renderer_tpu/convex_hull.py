@@ -45,12 +45,54 @@ def outer_polygon(hull, k: int = 16) -> np.ndarray:
     return np.stack([x, y], axis=-1)
 
 
+def _prune_interior(pts: np.ndarray, k: int = 16) -> np.ndarray:
+    """Drop points that provably cannot be on the hull.
+
+    The argmax points of k support directions are hull vertices; their
+    convex polygon is inside the hull, so any point strictly inside it
+    (with margin) is interior.  Vectorized — the sequential chain then
+    runs on the few survivors (large proto-hulls, e.g. a 10k-glyph
+    scene's ~600k points, are otherwise dominated by Python turn
+    tests).
+
+    Points on (or within ERROR_MARGIN doubled-area of) a chord between
+    two extremes are also dropped: a chord between hull vertices lies
+    inside the hull, so such points are interior or collinear — the
+    sequential chain would remove them anyway (it pops turns
+    ≤ ERROR_MARGIN).  This matters for text scenes, where every glyph
+    on a line contributes points exactly on the block's bounding edges.
+    The extremes themselves are re-appended since they sit on their own
+    chords."""
+    ang = np.arange(k) * (2.0 * np.pi / k)
+    d = np.stack([np.cos(ang), np.sin(ang)], axis=-1)       # (k, 2)
+    support = pts @ d.T                                     # (n, k)
+    extreme = pts[np.argmax(support, axis=0)]               # (k, 2)
+    # Deduplicate consecutive repeats, keep direction (= CCW) order.
+    keep = np.any(extreme != np.roll(extreme, 1, axis=0), axis=1)
+    poly = extreme[keep]
+    if len(poly) < 3:
+        return pts
+    a = poly
+    b = np.roll(poly, -1, axis=0)
+    e = (b[:, 0] - a[:, 0])[None, :] * (pts[:, 1:2] - a[:, 1][None, :]) - (
+        b[:, 1] - a[:, 1]
+    )[None, :] * (pts[:, 0:1] - a[:, 0][None, :])
+    interior = np.all(e > -ERROR_MARGIN, axis=1)
+    return np.concatenate([pts[~interior], poly], axis=0)
+
+
 def andrew(input_points) -> np.ndarray:
     """Convex hull of (n, 2) points, counterclockwise, collinear points
     removed (up to ERROR_MARGIN in doubled-area units)."""
     pts = np.asarray(input_points, dtype=np.float64).reshape(-1, 2)
     if len(pts) < 3:
         return pts.copy()
+    if len(pts) > 1024:
+        from . import native
+
+        if native.available():
+            return native.convex_hull(pts, ERROR_MARGIN)
+        pts = _prune_interior(pts)
     order = np.lexsort((pts[:, 1], pts[:, 0]))
     pts = pts[order]
     hull = []

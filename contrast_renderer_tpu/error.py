@@ -48,7 +48,9 @@ def require_finite(value, name="value"):
     """
     import numpy as np
 
-    arr = np.asarray(value, dtype=np.float64)
+    arr = np.asarray(value)
+    if arr.dtype.kind not in "fc":
+        arr = arr.astype(np.float64)
     if not np.isfinite(arr).all():
         raise ValueError(f"{name} must be finite")
     return value

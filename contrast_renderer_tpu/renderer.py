@@ -253,6 +253,38 @@ class Shape:
         )
         self._geometry_version += 1
 
+    @classmethod
+    def from_triangle_table(
+        cls,
+        triangles: TriangleTable,
+        hull_points: np.ndarray,
+        dynamic_stroke_options: Sequence[DynamicStrokeOptions] = (),
+    ) -> "Shape":
+        """Construct a Shape from pre-tessellated geometry.
+
+        The fast path for instanced/cached tessellation (e.g.
+        text.shape_of_text's per-glyph triangle-table cache): affine
+        transforms commute with Loop-Blinn tessellation — the implicit
+        weights are affine-invariant — so a glyph tessellated once can
+        be stamped per instance by transforming only ``xy``
+        (the reference's analogue is reusing vertex buffers across
+        instanced draws, renderer.rs:216-227, 462-466)."""
+        shape = cls.__new__(cls)
+        shape._uid = next(cls._uid_counter)
+        shape._geometry_version = 0
+        shape.triangles = triangles
+        require_finite(triangles.xy, "triangle coordinates")
+        require_finite(triangles.aux, "curve weights")
+        pts = np.asarray(hull_points, np.float64).reshape(-1, 2)
+        shape.convex_hull = outer_polygon(
+            andrew(pts if len(pts) else np.zeros((0, 2)))
+        )
+        shape.dynamic_stroke_options = list(dynamic_stroke_options)
+        shape.descriptors = ds.StrokeDescriptorTable.from_options(
+            shape.dynamic_stroke_options
+        )
+        return shape
+
     def set_dynamic_stroke_options(
         self, index: int, options: DynamicStrokeOptions
     ):

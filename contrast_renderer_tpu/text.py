@@ -239,6 +239,114 @@ def paths_of_text(
     return result
 
 
+def glyph_triangle_table(face: Face, glyph_id: int):
+    """(TriangleTable, hull vertices) of one glyph in font units,
+    cached on the face.
+
+    Tessellation commutes with affine maps (the Loop-Blinn implicit
+    weights are affine-invariant), so a glyph is tessellated once and
+    stamped per instance by transforming only the triangle positions.
+    """
+    cache = getattr(face, "_glyph_table_cache", None)
+    if cache is None:
+        cache = {}
+        face._glyph_table_cache = cache
+    entry = cache.get(glyph_id)
+    if entry is None:
+        from . import native
+        from .convex_hull import andrew
+        from .fill import FillBuilder
+        from .renderer import _is_glyph_style, _native_fill_batch
+
+        proto_hull: List = []
+        paths = paths_of_glyph(face, glyph_id)
+        if (
+            paths
+            and native.available()
+            and all(_is_glyph_style(p) for p in paths)
+        ):
+            table = _native_fill_batch(paths, proto_hull)
+        else:
+            builder = FillBuilder()
+            for path in paths:
+                builder.add_path(proto_hull, path)
+            table = builder.build()
+        hull = np.asarray(proto_hull, np.float64).reshape(-1, 2)
+        if len(hull) >= 3:
+            hull = andrew(hull)
+        entry = (table, hull)
+        cache[glyph_id] = entry
+    return entry
+
+
+def shape_of_text(
+    face: Face,
+    layout: Layout,
+    text: str,
+    clipping_area: Optional[np.ndarray] = None,
+):
+    """Arrange a string directly into a renderer Shape.
+
+    The production path for large texts: where
+    ``Shape(paths_of_text(...))`` re-tessellates every glyph instance
+    (the reference's Shape::from_paths does the same per-instance work,
+    renderer.rs:177-249), this uses the per-glyph triangle-table cache
+    and stamps instances by translating pre-tessellated tables —
+    a 10k-glyph page builds in well under a second.  Output coverage is
+    identical up to f32 rounding of the affine transform order.
+    """
+    from .renderer import Shape
+    from .vertex import TriangleTable
+
+    _extent, _offset, lines = _calculate_aligned_positions(face, layout, text)
+    scale = layout.size / face.height()
+    by_glyph = {}
+    for _line_range_end, glyph_positions in lines:
+        for (x, y), glyph_id in glyph_positions[:-1]:
+            if clipping_area is not None:
+                bbox = face.glyph_bounding_box(glyph_id)
+                if bbox is not None:
+                    aabb = [
+                        (bbox[0] + x) * scale,
+                        (bbox[1] + y) * scale,
+                        (bbox[2] + x) * scale,
+                        (bbox[3] + y) * scale,
+                    ]
+                    if not ga2d.do_convex_polygons_overlap(
+                        ga2d.aabb_to_convex_polygon(aabb), clipping_area
+                    ):
+                        continue
+            by_glyph.setdefault(glyph_id, []).append((x, y))
+    tables = []
+    hull_parts = []
+    for glyph_id, positions in by_glyph.items():
+        table, ghull = glyph_triangle_table(face, glyph_id)
+        if not len(table):
+            continue
+        offsets = np.asarray(positions, np.float64) * scale  # (m, 2)
+        m = len(offsets)
+        xy = (
+            table.xy.astype(np.float64)[None] * scale
+            + offsets[:, None, None, :]
+        ).reshape(-1, 3, 2).astype(np.float32)
+        tables.append(
+            TriangleTable(
+                xy=xy,
+                aux=np.tile(table.aux, (m, 1, 1)),
+                kind=np.tile(table.kind, m),
+                meta=np.tile(table.meta, (m, 1)),
+            )
+        )
+        if len(ghull):
+            hull_parts.append(
+                (ghull[None] * scale + offsets[:, None, :]).reshape(-1, 2)
+            )
+    return Shape.from_triangle_table(
+        TriangleTable.concatenate(tables),
+        np.concatenate(hull_parts) if hull_parts else np.zeros((0, 2)),
+    )
+
+
 @dataclass
 class TextGeometry:
     """Bounding box and per-line glyph positions for caret math

@@ -234,3 +234,28 @@ class TestOuterPolygon:
 
         tri = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
         assert np.array_equal(outer_polygon(tri, 16), tri)
+
+
+class TestHullPrefilter:
+    def test_large_input_prune_matches_unpruned_chain(self):
+        """The >1024-point interior prune must not change the hull."""
+        from contrast_renderer_tpu.convex_hull import andrew
+
+        rng = np.random.default_rng(7)
+        for scale in (1.0, 300.0):
+            pts = rng.normal(size=(5000, 2)) * scale
+            # Duplicate some extremes to stress dedup.
+            pts = np.concatenate([pts, pts[np.argmax(pts, axis=0)]])
+            hull = andrew(pts)
+            small = andrew(hull)  # hull of a hull is itself
+            assert len(hull) >= 3
+            assert np.allclose(hull, small)
+            # Every input point is inside (or on) the hull.
+            a = hull
+            b = np.roll(hull, -1, axis=0)
+            e = (b[:, 0] - a[:, 0])[None, :] * (
+                pts[:, 1:2] - a[:, 1][None, :]
+            ) - (b[:, 1] - a[:, 1])[None, :] * (
+                pts[:, 0:1] - a[:, 0][None, :]
+            )
+            assert (e >= -1e-6 * scale * scale).all()

@@ -182,3 +182,63 @@ class TestTextGeometry:
         assert byte_offset_of_char_index("abc", 2) == 2
         assert byte_offset_of_char_index("héllo", 2) == 3
         assert byte_offset_of_char_index("ab", 5) == 2
+
+
+class TestShapeOfText:
+    def test_matches_classic_build(self, font):
+        """shape_of_text (per-glyph table cache + instance stamping)
+        produces the same triangle multiset as Shape(paths_of_text(...))
+        up to f32 rounding of the transform order.
+
+        Tessellation commutes with the affine glyph placement, so the
+        two builds must agree triangle-for-triangle; only the order
+        differs (classic walks instances, fast groups by glyph).  The
+        comparison is order-invariant: per-coordinate sorted sequences
+        of ε-close multisets are pointwise ε-close.
+        """
+        from contrast_renderer_tpu.renderer import Shape
+        from contrast_renderer_tpu.text import shape_of_text
+
+        layout = Layout(
+            size=20.0,
+            orientation=Orientation.LEFT_TO_RIGHT,
+            major_alignment=Alignment.CENTER,
+            minor_alignment=Alignment.CENTER,
+        )
+        text = "Wavy 123"
+        fast = shape_of_text(font.face, layout, text)
+        classic = Shape(paths_of_text(font.face, layout, text))
+        ft, ct = fast.triangles, classic.triangles
+        assert len(ft) == len(ct)
+        assert np.array_equal(np.sort(ft.kind), np.sort(ct.kind))
+        for name in ("xy", "aux"):
+            a = getattr(ft, name).reshape(len(ft), -1).astype(np.float64)
+            b = getattr(ct, name).reshape(len(ct), -1).astype(np.float64)
+            np.testing.assert_allclose(
+                np.sort(a, axis=0), np.sort(b, axis=0), atol=2e-3,
+                err_msg=name,
+            )
+        # Signed areas agree in the sorted-multiset sense too (catches
+        # flipped winding that coordinate sorting could mask).
+        def areas(t):
+            v = t.xy.astype(np.float64)
+            e1 = v[:, 1] - v[:, 0]
+            e2 = v[:, 2] - v[:, 0]
+            return np.sort(e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0])
+
+        np.testing.assert_allclose(areas(ft), areas(ct), atol=2e-2)
+        # Hulls: the fast hull must contain the classic hull (it is
+        # built from per-glyph hulls, a superset of the proto-hull).
+        from contrast_renderer_tpu.convex_hull import andrew
+
+        both = andrew(np.concatenate([fast.convex_hull, classic.convex_hull]))
+        assert len(both) <= len(fast.convex_hull) + len(classic.convex_hull)
+
+    def test_cache_reused_across_calls(self, font):
+        from contrast_renderer_tpu.text import shape_of_text
+
+        layout = Layout(size=12.0)
+        a = shape_of_text(font.face, layout, "abcabc")
+        b = shape_of_text(font.face, layout, "abc")
+        assert len(a.triangles) == 2 * len(b.triangles)
+        assert getattr(font.face, "_glyph_table_cache", None)
