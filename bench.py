@@ -87,7 +87,7 @@ def main():
         # "camera is just a matrix" economics.
         program = renderer.compile_frame(commands)
 
-        def frame(t):
+        def frame(t, acc):
             angle = 0.05 * t
             rotor = np.array(
                 [math.cos(angle / 2), 0.0, math.sin(angle / 2), 0.0]
@@ -100,13 +100,17 @@ def main():
             shape.set_dynamic_stroke_options(
                 0, showcase.dashed_options(t * 2.0)
             )
-            return program(transforms)
+            # The per-frame completion probe rides the frame dispatch
+            # (program carry) — one launch per frame.
+            return program(transforms, carry=acc)
     else:
-        def frame(t):
+        def frame(t, acc):
             shape.set_dynamic_stroke_options(
                 0, showcase.dashed_options(t * 2.0)
             )
-            return renderer.render(commands, to_host=False)
+            # carry folds the completion probe into the frame's own
+            # dispatch (one launch per frame).
+            return renderer.render(commands, to_host=False, carry=acc)
 
     import jax.numpy as jnp
 
@@ -120,7 +124,15 @@ def main():
     # a real data dependency.  The per-frame reduction costs one read of
     # the frame — the measured FPS is a slight under-estimate.
     probe_add = jax.jit(lambda acc, x: acc + jnp.sum(x[..., 3]))
-    acc = probe_add(probe_add(jnp.float32(0.0), frame(0.0)), frame(0.016))
+
+    def probed_frame(t, acc):
+        image, new_acc = frame(t, acc)
+        if new_acc is None:  # frame path without a fused carry
+            new_acc = probe_add(acc, image)
+        return image, new_acc
+
+    image, acc = probed_frame(0.0, jnp.float32(0.0))
+    _, acc = probed_frame(0.016, acc)
     float(acc)  # compile frame + probe
     frames = 32 if on_accelerator else 2
     batches = 3 if on_accelerator else 1
@@ -134,12 +146,12 @@ def main():
         start = time.perf_counter()
         acc = jnp.float32(0.0)
         for i in range(frames):
-            acc = probe_add(acc, frame((b * frames + i) * 0.016))
+            _, acc = probed_frame((b * frames + i) * 0.016, acc)
         checksum = float(acc)  # forces every frame in the chain
         elapsed = time.perf_counter() - start
         assert np.isfinite(checksum)
         fps = max(fps, frames / elapsed)
-    image = frame(0.0)
+    image, _ = probed_frame(0.0, jnp.float32(0.0))
 
     start = time.perf_counter()
     host = np.asarray(image)

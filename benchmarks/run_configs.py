@@ -235,6 +235,18 @@ def config4(frames):
     shape_py = Shape(paths, use_native=False)
     build_py_s = time.perf_counter() - t0
     assert len(shape_py.triangles) == len(shape.triangles)
+    # Production text path: per-glyph triangle-table cache + instance
+    # stamping (text.shape_of_text) — tessellates each unique glyph
+    # once; cold includes filling the cache, warm is the steady state.
+    from contrast_renderer_tpu.text import shape_of_text
+    t0 = time.perf_counter()
+    shape_fast = shape_of_text(font.face, layout, text)
+    build_fast_cold_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    shape_fast = shape_of_text(font.face, layout, text)
+    build_fast_warm_s = time.perf_counter() - t0
+    assert len(shape_fast.triangles) == len(shape.triangles)
+    shape = shape_fast
 
     renderer = Renderer(Configuration(), width, height, tile_size=(int(os.environ["BENCH_TILE_H"])
                     if os.environ.get("BENCH_TILE_H") else None), fill_batch=(int(os.environ["BENCH_FILL_BATCH"])
@@ -263,6 +275,8 @@ def config4(frames):
             "outline_s": round(outline_s, 3),
             "scene_build_native_s": round(build_s, 3),
             "scene_build_python_s": round(build_py_s, 3),
+            "scene_build_glyphcache_cold_s": round(build_fast_cold_s, 3),
+            "scene_build_glyphcache_warm_s": round(build_fast_warm_s, 3),
         },
     )
 

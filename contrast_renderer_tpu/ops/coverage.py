@@ -179,7 +179,10 @@ class FrameSpec:
     samples: int
     winding_bits: int
     n_layers: int
-    blending: str
+    #: Named mode ("back_to_front" / "front_to_back" / "additive") or a
+    #: canonical BlendState tuple ((src, op, dst), (src, op, dst)) for
+    #: color/alpha — see renderer.BlendState (reference renderer.rs:381).
+    blending: object
     #: Per-command instance counts (the reference's instance_range,
     #: renderer.rs:267, 462-466): a stencil command accumulates winding
     #: from all its instances' triangles; a cover command replays its
@@ -218,6 +221,55 @@ class FrameSpec:
     @property
     def n_tiles(self):
         return self.ntx * self.nty
+
+
+#: Named blend modes as canonical (src_factor, operation, dst_factor)
+#: components, matching renderer.NAMED_BLEND_STATES.
+_NAMED_BLEND = {
+    "back_to_front": ("one", "add", "one_minus_src_alpha"),
+    "front_to_back": ("one_minus_dst_alpha", "add", "one"),
+    "additive": ("one", "add", "one"),
+}
+
+
+def _canonical_blend(blending):
+    """spec.blending → (color_component, alpha_component) tuples."""
+    if isinstance(blending, str):
+        comp = _NAMED_BLEND[blending]
+        return comp, comp
+    color, alpha = blending
+    return tuple(color), tuple(alpha)
+
+
+def _blend_channel(comp, s, d, ca, da):
+    """out = op(s·src_factor, d·dst_factor) for one channel, wgpu
+    semantics (shaders are premultiplied; `min`/`max` ignore factors).
+
+    `ca`: the draw's scalar source alpha; `da`: the destination alpha
+    sampled before this draw touched any channel."""
+    src_f, op, dst_f = comp
+    if op == "min":
+        return jnp.minimum(s, d)
+    if op == "max":
+        return jnp.maximum(s, d)
+
+    def factor(name):
+        return {
+            "zero": 0.0,
+            "one": 1.0,
+            "src_alpha": ca,
+            "one_minus_src_alpha": 1.0 - ca,
+            "dst_alpha": da,
+            "one_minus_dst_alpha": 1.0 - da,
+        }[name]
+
+    st = s * factor(src_f) if src_f != "zero" else 0.0
+    dt = d * factor(dst_f) if dst_f != "zero" else 0.0
+    if op == "add":
+        return st + dt
+    if op == "subtract":
+        return st - dt
+    return dt - st  # reverse_subtract
 
 
 class PreparedFrame(NamedTuple):
@@ -1039,8 +1091,7 @@ def make_rasterize(spec: FrameSpec):
     L = max(1, spec.n_layers)
     winding_mask = (1 << spec.winding_bits) - 1
     offsets = SAMPLE_PATTERNS[S]
-    front_to_back = spec.blending == "front_to_back"
-    additive = spec.blending == "additive"
+    blend_color, blend_alpha = _canonical_blend(spec.blending)
     # Static frame-program specialization: frames with no clip / alpha
     # commands (the common case) skip the per-tile state zeroing and the
     # per-command per-sample clip compare entirely.
@@ -1512,31 +1563,23 @@ def make_rasterize(spec: FrameSpec):
                         if clip_ok is not None:
                             mask = mask & clip_ok
                         src = (cr * ca, cg * ca, cb * ca, ca)
-                        if front_to_back:
-                            remaining = 1.0 - colorb[3]
-                            for chan in range(4):
-                                colorb[chan] = jnp.where(
-                                    mask,
-                                    colorb[chan] + src[chan] * remaining,
-                                    colorb[chan],
-                                )
-                        elif additive:
-                            # src ONE + dst ONE — the wgpu additive
-                            # blend state a reference user can configure
-                            # (Configuration.blending, renderer.rs:381).
-                            for chan in range(4):
-                                colorb[chan] = jnp.where(
-                                    mask,
-                                    colorb[chan] + src[chan],
-                                    colorb[chan],
-                                )
-                        else:
-                            for chan in range(4):
-                                colorb[chan] = jnp.where(
-                                    mask,
-                                    src[chan] + colorb[chan] * (1.0 - ca),
-                                    colorb[chan],
-                                )
+                        # Generic wgpu blend state (renderer.rs:381),
+                        # emitted statically per spec — the named modes
+                        # (over, front-to-back, additive) fold to the
+                        # same arithmetic their hand-written forms had.
+                        # Destination alpha is sampled before any
+                        # channel updates (dst_alpha factors must see
+                        # the pre-draw value).
+                        da = colorb[3]
+                        for chan in range(4):
+                            comp = blend_alpha if chan == 3 else blend_color
+                            colorb[chan] = jnp.where(
+                                mask,
+                                _blend_channel(
+                                    comp, src[chan], colorb[chan], ca, da
+                                ),
+                                colorb[chan],
+                            )
                         wind[...] = jnp.where(mask, 0, wind[...])
 
                     if has_clip:

@@ -63,6 +63,80 @@ class RenderOperation(enum.IntEnum):
     RESTORE_ALPHA_CONTEXT = 6
 
 
+#: Blend factors for :class:`BlendComponent` (the supported subset of
+#: wgpu::BlendFactor — the ones expressible against the premultiplied
+#: per-sample frame state; reference Configuration.blending is an
+#: arbitrary wgpu BlendState, renderer.rs:381).
+BLEND_FACTORS = (
+    "zero",
+    "one",
+    "src_alpha",
+    "one_minus_src_alpha",
+    "dst_alpha",
+    "one_minus_dst_alpha",
+)
+#: Blend operations (wgpu::BlendOperation).  Per wgpu/WebGPU semantics
+#: `min`/`max` ignore the blend factors.
+BLEND_OPERATIONS = ("add", "subtract", "reverse_subtract", "min", "max")
+
+
+@dataclass(frozen=True)
+class BlendComponent:
+    """src/dst factor + operation for one channel group
+    (wgpu::BlendComponent): ``out = op(src·src_factor, dst·dst_factor)``
+    on premultiplied values."""
+
+    src_factor: str = "one"
+    operation: str = "add"
+    dst_factor: str = "one_minus_src_alpha"
+
+    def __post_init__(self):
+        if self.src_factor not in BLEND_FACTORS:
+            raise ValueError(f"unknown blend factor {self.src_factor!r}")
+        if self.dst_factor not in BLEND_FACTORS:
+            raise ValueError(f"unknown blend factor {self.dst_factor!r}")
+        if self.operation not in BLEND_OPERATIONS:
+            raise ValueError(f"unknown blend operation {self.operation!r}")
+
+
+@dataclass(frozen=True)
+class BlendState:
+    """A full wgpu-style blend state: independent color and alpha
+    components (reference Configuration.blending, renderer.rs:381).
+
+    Pass as ``Configuration(blending=BlendState(...))``; the named
+    string modes remain available as shorthands for the three states
+    the reference's examples use."""
+
+    color: BlendComponent = BlendComponent()
+    alpha: BlendComponent = BlendComponent()
+
+    def canonical(self):
+        """Hashable static encoding consumed by the kernel builder."""
+        c, a = self.color, self.alpha
+        return (
+            (c.src_factor, c.operation, c.dst_factor),
+            (a.src_factor, a.operation, a.dst_factor),
+        )
+
+
+#: The named shorthands as BlendStates.
+NAMED_BLEND_STATES = {
+    "back_to_front": BlendState(
+        BlendComponent("one", "add", "one_minus_src_alpha"),
+        BlendComponent("one", "add", "one_minus_src_alpha"),
+    ),
+    "front_to_back": BlendState(
+        BlendComponent("one_minus_dst_alpha", "add", "one"),
+        BlendComponent("one_minus_dst_alpha", "add", "one"),
+    ),
+    "additive": BlendState(
+        BlendComponent("one", "add", "one"),
+        BlendComponent("one", "add", "one"),
+    ),
+}
+
+
 @dataclass
 class Configuration:
     """Configurable renderer parameters (reference renderer.rs:379-405).
@@ -98,14 +172,19 @@ class Configuration:
     #: treats frame alpha as accumulated occlusion; "additive":
     #: src ONE + dst ONE (the reference's blending is a user-configured
     #: wgpu blend state, renderer.rs:381 — these are the three states
-    #: its users employ).
-    blending: str = "back_to_front"
+    #: its users employ).  Any other (src, op, dst) combination is
+    #: expressed by passing a :class:`BlendState` instead of a name.
+    blending: object = "back_to_front"
 
     def __post_init__(self):
-        if self.blending not in (
-            "back_to_front", "front_to_back", "additive"
-        ):
-            raise ValueError(f"unknown blending {self.blending!r}")
+        if isinstance(self.blending, str):
+            if self.blending not in NAMED_BLEND_STATES:
+                raise ValueError(f"unknown blending {self.blending!r}")
+        elif not isinstance(self.blending, BlendState):
+            raise ValueError(
+                "blending must be a named mode or a BlendState, got "
+                f"{self.blending!r}"
+            )
         if (
             self.winding_counter_bits == 0
             or self.clip_nesting_counter_bits + self.winding_counter_bits > 8
@@ -428,6 +507,7 @@ class Renderer:
         self._pending_overflow = []
         self._frame_index = 0
         self._executors = {}
+        self._executors_carry = {}
         self._scene_cache = {}
         self._prepared_cache = {}
         #: Content-keyed cache of small device-resident runtime arrays
@@ -451,6 +531,7 @@ class Renderer:
         self.width = int(width)
         self.height = int(height)
         self._executors.clear()
+        self._executors_carry.clear()
         self._prepared_cache.clear()
 
     def _interpret_flag(self) -> bool:
@@ -535,7 +616,11 @@ class Renderer:
             samples=self.config.msaa_sample_count,
             winding_bits=self.config.winding_counter_bits,
             n_layers=self.config.alpha_layer_count,
-            blending=self.config.blending,
+            blending=(
+                self.config.blending
+                if isinstance(self.config.blending, str)
+                else self.config.blending.canonical()
+            ),
             tile_h=tile_h,
             tile_w=self.tile_w,
             capacity=self.tile_capacity,
@@ -556,6 +641,23 @@ class Renderer:
             )
             self._executors[spec] = execs
         return execs
+
+    def _get_rasterize_carry(self, spec):
+        """Rasterize + per-frame completion probe in ONE dispatch:
+        returns (image, carry + sum(image[..., 3])).  Every extra
+        program launch costs a full round trip on remote links, so
+        throughput harnesses chain this instead of probing separately."""
+        fn = self._executors_carry.get(spec)
+        if fn is None:
+            rasterize = coverage.make_rasterize(spec)
+
+            def step(carry, prepared, cmd_i, cmd_f, desc_f, desc_i):
+                image = rasterize(prepared, cmd_i, cmd_f, desc_f, desc_i)
+                return image, carry + jnp.sum(image[..., 3])
+
+            fn = jax.jit(step)
+            self._executors_carry[spec] = fn
+        return fn
 
     @staticmethod
     def _pack_descriptors(shapes):
@@ -645,6 +747,7 @@ class Renderer:
         background=None,
         to_host: bool = True,
         as_uint8: bool = False,
+        carry=None,
     ):
         """Render a frame; returns (H, W, 4) premultiplied RGBA float32
         (or uint8 with ``as_uint8=True`` — quantized on device, cutting
@@ -659,6 +762,11 @@ class Renderer:
         the equivalent of the reference presenting on-GPU; fetching a
         1080p f32 frame over a remote-TPU link costs more than rendering
         it.
+
+        ``carry`` (scalar, implies ``to_host=False``): returns
+        ``(image, carry + sum(image[..., 3]))`` computed in the frame's
+        dispatch — a per-frame completion probe with no extra program
+        launch for throughput harnesses.
         """
         self._validate(commands)
         self._frame_index += 1
@@ -753,13 +861,18 @@ class Renderer:
             raise RuntimeError("tile binning capacity did not converge")
 
         cmd_i, cmd_f = self._pack_commands_runtime(commands)
-        image = rasterize(
+        runtime_args = (
             prepared,
             self._dev_cached("cmd_i", cmd_i),
             self._dev_cached("cmd_f", cmd_f),
             self._dev_cached("desc_f", desc_f),
             self._dev_cached("desc_i", desc_i),
         )
+        if carry is not None:
+            return self._get_rasterize_carry(spec)(
+                jnp.asarray(carry, jnp.float32), *runtime_args
+            )
+        image = rasterize(*runtime_args)
         if as_uint8:
             if background is not None:
                 image = self._composite_quantize(
@@ -858,17 +971,43 @@ class FrameProgram:
             image = rasterize(prepared, cmd_i, cmd_f, desc_f, desc_i)
             return image, prepared.overflow
 
+        def step_carry(carry, scene_arrays, transforms, desc_static,
+                       cmd_i, cmd_f, desc_f, desc_i):
+            image, overflow = step(scene_arrays, transforms, desc_static,
+                                   cmd_i, cmd_f, desc_f, desc_i)
+            # Fold the completion probe into the frame program: a real
+            # data dependency per frame in ONE dispatch (every extra
+            # launch costs a full round trip on remote links).
+            return image, overflow, carry + jnp.sum(image[..., 3])
+
         self._step = jax.jit(step)
+        self._step_carry = jax.jit(step_carry)
         cmd_i, cmd_f = Renderer._pack_commands_runtime(self._commands)
         self._cmd_i = jnp.asarray(cmd_i)
         self._cmd_f = jnp.asarray(cmd_f)
 
-    def __call__(self, transforms=None):
+    #: Frames an unconsumed overflow counter may age before the host
+    #: blocks on it.  Overflow only fires when a moving scene outgrows
+    #: converged capacities; forcing the fetch every frame serializes
+    #: the pipeline on a device round trip (measured ~2× frame time on
+    #: remote links), so the fetch is taken when the async copy has
+    #: landed and only *forced* after this many frames of lag — the
+    #: deferred-capacity contract renders at most this many
+    #: under-populated frames while growing.
+    OVERFLOW_MAX_LAG = 16
+
+    def __call__(self, transforms=None, carry=None):
         """Render one frame; returns the device-resident (H, W, 4)
         image.  `transforms`: an (R, 4, 4) row-major model→clip stack
         with one row per (command, instance) draw — R equals the sum of
         the commands' instance counts (defaults to the commands' stored
-        transforms)."""
+        transforms).
+
+        `carry`: optional scalar; when given, returns ``(image, carry +
+        sum(image[..., 3]))`` computed in the same dispatch — a
+        per-frame completion probe with no extra program launch (a
+        throughput harness chains it and fetches once at the end).
+        """
         renderer = self._renderer
         if transforms is None:
             transforms = Renderer._pack_transforms(self._commands)
@@ -879,7 +1018,8 @@ class FrameProgram:
         require_finite(transforms, "frame transforms")
         self._frame += 1
 
-        # Consume landed overflow counters (≤1 frame of lag).
+        # Consume landed overflow counters (lag-bounded, non-blocking
+        # while the async copies are in flight).
         grew = False
         keep = []
         limits = (
@@ -890,7 +1030,7 @@ class FrameProgram:
         )
         for overflow_arr, born in self._pending:
             ready = getattr(overflow_arr, "is_ready", lambda: True)()
-            if ready or self._frame - born >= 2:
+            if ready or self._frame - born >= self.OVERFLOW_MAX_LAG:
                 grew |= renderer._grow_capacities(
                     np.asarray(overflow_arr), limits
                 )
@@ -913,7 +1053,7 @@ class FrameProgram:
 
         desc_f, desc_i = Renderer._pack_descriptors(self._shapes)
         desc_static = np.ascontiguousarray(desc_i[:, [9, 8]])
-        image, overflow = self._step(
+        args = (
             self._scene.arrays,
             transforms,
             renderer._dev_cached("fp_desc_static", desc_static),
@@ -922,9 +1062,15 @@ class FrameProgram:
             renderer._dev_cached("fp_desc_f", desc_f),
             renderer._dev_cached("fp_desc_i", desc_i),
         )
+        if carry is None:
+            image, overflow = self._step(*args)
+        else:
+            image, overflow, carry = self._step_carry(
+                jnp.asarray(carry, jnp.float32), *args
+            )
         try:
             overflow.copy_to_host_async()
         except AttributeError:
             pass
         self._pending.append((overflow, self._frame))
-        return image
+        return image if carry is None else (image, carry)

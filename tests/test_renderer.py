@@ -416,6 +416,90 @@ class TestKernelSpecializations:
         assert np.allclose(image[32, 18, :3], [0.25, 0.0, 0.0], atol=1e-5)
         assert np.allclose(image[32, 46, :3], [0.0, 0.5, 0.0], atol=1e-5)
 
+    def test_custom_blend_state_matches_named_mode(self):
+        """An explicit BlendState spelling of premultiplied OVER renders
+        identically to the "back_to_front" shorthand (the generic wgpu
+        blend path, reference renderer.rs:381)."""
+        from contrast_renderer_tpu.renderer import (
+            BlendComponent,
+            BlendState,
+        )
+
+        shape = Shape([Path.from_circle((30.0, 32.0), 14.0)])
+        other = Shape([Path.from_circle((38.0, 32.0), 14.0)])
+        commands = (
+            stencil_color(shape, ortho(), (0.8, 0.2, 0.1, 0.7))
+            + stencil_color(other, ortho(), (0.1, 0.3, 0.9, 0.5))
+        )
+        named = np.asarray(
+            Renderer(
+                Configuration(blending="back_to_front"), SIZE, SIZE
+            ).render(commands)
+        )
+        over = BlendComponent("one", "add", "one_minus_src_alpha")
+        explicit = np.asarray(
+            Renderer(
+                Configuration(blending=BlendState(over, over)), SIZE, SIZE
+            ).render(commands)
+        )
+        assert np.array_equal(named, explicit)
+
+    def test_custom_blend_dst_alpha_factor(self):
+        """color src·dst_alpha + dst with alpha src·1 + dst·0: color
+        only lands where prior draws left alpha, and the dst_alpha
+        factor reads the pre-draw destination (wgpu ordering)."""
+        from contrast_renderer_tpu.renderer import (
+            BlendComponent,
+            BlendState,
+        )
+
+        state = BlendState(
+            color=BlendComponent("dst_alpha", "add", "one"),
+            alpha=BlendComponent("one", "add", "zero"),
+        )
+        r = Renderer(Configuration(blending=state), SIZE, SIZE)
+        left = Shape([Path.from_circle((28.0, 32.0), 12.0)])
+        right = Shape([Path.from_circle((36.0, 32.0), 12.0)])
+        image = np.asarray(
+            r.render(
+                stencil_color(left, ortho(), (1.0, 0.0, 0.0, 1.0))
+                + stencil_color(right, ortho(), (0.0, 0.5, 0.0, 1.0))
+            )
+        )
+        # First draw lands on empty canvas: dst_alpha=0 kills its color.
+        assert np.allclose(image[32, 18, :3], 0.0, atol=1e-5)
+        assert np.isclose(image[32, 18, 3], 1.0, atol=1e-5)
+        # Overlap: second draw sees dst_alpha=1 → green lands.
+        assert np.allclose(image[32, 32, :3], [0.0, 0.5, 0.0], atol=1e-5)
+        # Right-only region: dst_alpha=0 again → color stays empty.
+        assert np.allclose(image[32, 46, :3], 0.0, atol=1e-5)
+        assert np.isclose(image[32, 46, 3], 1.0, atol=1e-5)
+
+    def test_custom_blend_max_ignores_factors(self):
+        """`max` keeps the channel-wise maximum regardless of factors
+        (wgpu: min/max ignore blend factors)."""
+        from contrast_renderer_tpu.renderer import (
+            BlendComponent,
+            BlendState,
+        )
+
+        comp = BlendComponent("zero", "max", "zero")  # factors ignored
+        r = Renderer(
+            Configuration(blending=BlendState(comp, comp)), SIZE, SIZE
+        )
+        left = Shape([Path.from_circle((28.0, 32.0), 12.0)])
+        right = Shape([Path.from_circle((36.0, 32.0), 12.0)])
+        image = np.asarray(
+            r.render(
+                stencil_color(left, ortho(), (0.25, 0.0, 0.0, 1.0))
+                + stencil_color(right, ortho(), (0.0, 0.5, 0.0, 1.0))
+            )
+        )
+        assert np.allclose(
+            image[32, 32], [0.25, 0.5, 0.0, 1.0], atol=1e-5
+        )
+        assert np.allclose(image[32, 18], [0.25, 0.0, 0.0, 1.0], atol=1e-5)
+
 
 class TestInstancing:
     """Single-draw instancing (reference instance_range + instance-rate
@@ -512,3 +596,39 @@ class TestInstancing:
                     ),
                 ]
             )
+
+
+class TestCarryProbe:
+    """The fused completion probe: render(carry=...) and
+    FrameProgram(..., carry=...) return (image, carry + sum(alpha))
+    computed in the frame's own dispatch."""
+
+    def test_render_carry_matches_alpha_sum(self, renderer):
+        import jax.numpy as jnp
+
+        shape = Shape([Path.from_circle((32.0, 32.0), 16.0)])
+        commands = stencil_color(shape, ortho(), (1.0, 0.0, 0.0, 1.0))
+        image = np.asarray(renderer.render(commands))
+        out, acc = renderer.render(commands, carry=jnp.float32(1.5))
+        assert np.array_equal(np.asarray(out), image)
+        assert np.isclose(float(acc), 1.5 + image[..., 3].sum(), rtol=1e-5)
+        # Chaining accumulates.
+        _, acc2 = renderer.render(commands, carry=acc)
+        assert np.isclose(
+            float(acc2), 1.5 + 2 * image[..., 3].sum(), rtol=1e-5
+        )
+
+    def test_frame_program_carry(self):
+        import jax.numpy as jnp
+
+        from contrast_renderer_tpu.models import showcase
+
+        size = 64
+        r = Renderer(Configuration(), size, size)
+        shape = showcase.build_shape(with_text=False)
+        commands = showcase.showcase_commands(shape, size, size)[:4]
+        program = r.compile_frame(commands)
+        plain = np.asarray(program())
+        image, acc = program(carry=jnp.float32(0.0))
+        assert np.array_equal(np.asarray(image), plain)
+        assert np.isclose(float(acc), plain[..., 3].sum(), rtol=1e-5)
