@@ -80,6 +80,7 @@ class TestDeferredCapacity:
 
 
 class TestMsaaGenerality:
+    @pytest.mark.slow  # two extra full-kernel compiles (2× and 8× MSAA)
     @pytest.mark.parametrize("samples", [2, 8])
     def test_circle_coverage(self, samples):
         renderer = Renderer(
@@ -384,6 +385,7 @@ def _polyline_winding(path_start, control, points, n=4096):
 
 
 class TestCubicGroundTruth:
+    @pytest.mark.slow  # 128² battery, two full-kernel compiles
     @pytest.mark.parametrize("orient", ["forward", "reverse"])
     def test_cubic_battery_vs_polyline(self, orient):
         size = 128

@@ -9,6 +9,7 @@ per scene keeps a single compiled frame program.
 """
 
 import numpy as np
+import pytest
 
 from contrast_renderer_tpu import oracle
 from contrast_renderer_tpu.path import (
@@ -24,6 +25,10 @@ from contrast_renderer_tpu.renderer import (
     Renderer,
     Shape,
 )
+
+# Each randomized scene compiles its own frame program — minutes of XLA
+# compile time cold; excluded from the fast gate (pytest.ini).
+pytestmark = pytest.mark.slow
 
 SIZE = 64
 
