@@ -77,6 +77,10 @@ OP_COLOR = 3
 OP_SAVE_ALPHA = 4
 OP_SCALE_ALPHA = 5
 OP_RESTORE_ALPHA = 6
+#: Fused SAVE then SCALE over the same hull (renderer._optimize_commands):
+#: the alpha-group prologue is always this adjacent pair on one cover, and
+#: one fused full-screen pass costs half the per-sample traffic of two.
+OP_SAVE_SCALE = 7
 
 #: Standard MSAA sample positions (x, y) within a pixel, y-down.
 SAMPLE_PATTERNS = {
@@ -1102,6 +1106,7 @@ def make_rasterize(spec: FrameSpec):
             (ops_np == OP_SAVE_ALPHA)
             | (ops_np == OP_SCALE_ALPHA)
             | (ops_np == OP_RESTORE_ALPHA)
+            | (ops_np == OP_SAVE_SCALE)
         )
     )
 
@@ -1620,6 +1625,23 @@ def make_rasterize(spec: FrameSpec):
                                 mask = mask & clip_ok
                             colorb[3] = jnp.where(
                                 mask, (1.0 - ca) + ca * colorb[3], colorb[3]
+                            )
+
+                        @pl.when(op == OP_SAVE_SCALE)
+                        def _save_scale():
+                            # Fused alpha-group prologue (save, then
+                            # scale, over the identical hull/clip mask):
+                            # one pass reads frame alpha once, snapshots
+                            # it, and rewrites it in place.
+                            mask = in_hull
+                            if clip_ok is not None:
+                                mask = mask & clip_ok
+                            a0 = colorb[3]
+                            layerb[layer] = jnp.where(
+                                mask, a0, layerb[layer]
+                            )
+                            colorb[3] = jnp.where(
+                                mask, (1.0 - ca) + ca * a0, colorb[3]
                             )
 
                         @pl.when(op == OP_RESTORE_ALPHA)

@@ -66,9 +66,10 @@ def _sub_renderer(renderer, width, height, platform):
 
 
 def _packed_pipeline(sub, commands):
-    from ..renderer import Renderer
+    from ..renderer import Renderer, _optimize_commands
 
     sub._validate(commands)
+    commands, _ = _optimize_commands(commands)
     shapes, shape_index = sub._unique_shapes(commands)
     _, scene = sub._scene_arrays(shapes)
     ops = tuple(int(c.operation) for c in commands)

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import enum
 import logging
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 from typing import List, Sequence, Tuple
 
 logger = logging.getLogger("contrast_renderer_tpu")
@@ -403,6 +403,61 @@ class DrawCommand:
         return 1 if t.ndim == 2 else int(t.shape[0])
 
 
+def _optimize_commands(commands):
+    """Fuse each SaveAlphaContext + ScaleAlphaContext pair over the
+    identical cover into one kernel pass (coverage.OP_SAVE_SCALE).
+
+    The opacity-group prologue is always this adjacent pair on one
+    full-group cover (reference renderer.rs:767-828 issues them
+    back-to-back on the same shape); the fused op snapshots frame alpha
+    and rewrites it in a single per-sample read-modify-write, halving
+    the prologue's VMEM traffic and removing one command-walk step per
+    covered tile.
+
+    Returns ``(optimized, keep_rows)`` where ``keep_rows`` indexes the
+    surviving (command, instance) transform rows within the *original*
+    draw-row layout (identity when nothing fused) — callers that accept
+    caller-built transform stacks gather through it.
+    """
+    out, keep = [], []
+    row = 0
+    i = 0
+    while i < len(commands):
+        c = commands[i]
+        if (
+            i + 1 < len(commands)
+            and c.operation == RenderOperation.SAVE_ALPHA_CONTEXT
+            and commands[i + 1].operation
+            == RenderOperation.SCALE_ALPHA_CONTEXT
+        ):
+            s = commands[i + 1]
+            if (
+                c.shape is s.shape
+                and c.clip_depth == s.clip_depth
+                and c.alpha_layer == s.alpha_layer
+                and np.array_equal(
+                    np.asarray(c.transform, np.float32),
+                    np.asarray(s.transform, np.float32),
+                )
+            ):
+                out.append(replace(s, operation=coverage.OP_SAVE_SCALE))
+                keep.extend(
+                    range(row + c.n_instances,
+                          row + c.n_instances + s.n_instances)
+                )
+                row += c.n_instances + s.n_instances
+                i += 2
+                continue
+        out.append(c)
+        keep.extend(range(row, row + c.n_instances))
+        row += c.n_instances
+        i += 1
+    keep_rows = (
+        None if len(keep) == row else np.asarray(keep, np.int32)
+    )
+    return out, keep_rows
+
+
 class _SceneArrays:
     """Padded, stacked, device-resident geometry for a set of shapes."""
 
@@ -769,6 +824,7 @@ class Renderer:
         launch for throughput harnesses.
         """
         self._validate(commands)
+        commands, _ = _optimize_commands(commands)
         self._frame_index += 1
         if self._pending_overflow:
             # Deferred capacity checks: consume counters whose D2H copy
@@ -935,12 +991,16 @@ class FrameProgram:
         self._renderer = renderer
         self._commands = list(commands)
         renderer._validate(self._commands)
-        self._shapes, shape_index = renderer._unique_shapes(self._commands)
-        self._ops = tuple(int(c.operation) for c in self._commands)
-        self._cmd_shape = tuple(
-            shape_index[id(c.shape)] for c in self._commands
-        )
-        inst = tuple(c.n_instances for c in self._commands)
+        # The kernel walks the *optimized* command list (SAVE+SCALE
+        # pairs fused); caller-supplied transform stacks stay in the
+        # original one-row-per-draw layout and are gathered through
+        # _keep_rows in __call__.
+        opt, self._keep_rows = _optimize_commands(self._commands)
+        self._opt_commands = opt
+        self._shapes, shape_index = renderer._unique_shapes(opt)
+        self._ops = tuple(int(c.operation) for c in opt)
+        self._cmd_shape = tuple(shape_index[id(c.shape)] for c in opt)
+        inst = tuple(c.n_instances for c in opt)
         self._cmd_inst = inst if any(n != 1 for n in inst) else ()
         # Settle binning capacities with one strict prepare so the
         # compiled program starts at converged sizes.
@@ -982,7 +1042,7 @@ class FrameProgram:
 
         self._step = jax.jit(step)
         self._step_carry = jax.jit(step_carry)
-        cmd_i, cmd_f = Renderer._pack_commands_runtime(self._commands)
+        cmd_i, cmd_f = Renderer._pack_commands_runtime(self._opt_commands)
         self._cmd_i = jnp.asarray(cmd_i)
         self._cmd_f = jnp.asarray(cmd_f)
 
@@ -1010,11 +1070,15 @@ class FrameProgram:
         """
         renderer = self._renderer
         if transforms is None:
-            transforms = Renderer._pack_transforms(self._commands)
+            transforms = Renderer._pack_transforms(self._opt_commands)
         else:
             transforms = np.ascontiguousarray(
                 transforms, np.float32
             ).reshape(-1, 4, 4)
+            if self._keep_rows is not None:
+                # Drop the rows of fused-away SAVE covers so the stack
+                # matches the optimized draw layout.
+                transforms = transforms[self._keep_rows]
         require_finite(transforms, "frame transforms")
         self._frame += 1
 

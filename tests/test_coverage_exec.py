@@ -203,13 +203,14 @@ class TestGoldenImage:
         # flips (the golden was rendered on TPU).
         import os
 
+        from contrast_renderer_tpu.assets import font_path
         from contrast_renderer_tpu.models import showcase
         from contrast_renderer_tpu.utils.png import read_png
 
         golden_path = os.path.join(
             os.path.dirname(__file__), "golden", "showcase_192x108.png"
         )
-        if not os.path.exists(showcase.OPEN_SANS_PATH):
+        if not os.path.exists(font_path()):
             pytest.skip("OpenSans test font unavailable")
         w, h = 192, 108
         renderer = Renderer(Configuration(), w, h)

@@ -632,3 +632,103 @@ class TestCarryProbe:
         image, acc = program(carry=jnp.float32(0.0))
         assert np.array_equal(np.asarray(image), plain)
         assert np.isclose(float(acc), plain[..., 3].sum(), rtol=1e-5)
+
+
+class TestSaveScaleFusion:
+    """SaveAlphaContext + ScaleAlphaContext over the identical cover
+    fuse into one kernel pass (coverage.OP_SAVE_SCALE); semantics must
+    match the unfused sequence exactly."""
+
+    @staticmethod
+    def _shapes():
+        rect = Shape([Path.from_rect((32, 32), (12, 12))])
+        cover_all = Shape([Path.from_rect((32, 32), (32, 32))])
+        return rect, cover_all
+
+    @staticmethod
+    def _group_commands(rect, cover_all, g, blocker=None):
+        mid = [] if blocker is None else [blocker]
+        return [
+            DrawCommand(
+                RenderOperation.SAVE_ALPHA_CONTEXT, cover_all, ortho(),
+                alpha_layer=0,
+            ),
+            *mid,
+            DrawCommand(
+                RenderOperation.SCALE_ALPHA_CONTEXT, cover_all, ortho(),
+                color=(0, 0, 0, g),
+            ),
+            *stencil_color(rect, ortho(), (1.0, 0.0, 0.0, 1.0)),
+            DrawCommand(
+                RenderOperation.RESTORE_ALPHA_CONTEXT, cover_all, ortho(),
+                color=(0, 0, 0, g), alpha_layer=0,
+            ),
+            *stencil_color(cover_all, ortho(), (0.0, 0.0, 1.0, 1.0)),
+        ]
+
+    def test_optimizer_fuses_and_maps_rows(self):
+        from contrast_renderer_tpu.ops import coverage
+        from contrast_renderer_tpu.renderer import _optimize_commands
+
+        rect, cover_all = self._shapes()
+        commands = self._group_commands(rect, cover_all, 0.5)
+        opt, keep = _optimize_commands(commands)
+        assert [int(c.operation) for c in opt] == [
+            coverage.OP_SAVE_SCALE, 0, 3, 6, 0, 3
+        ]
+        # The fused command keeps the SCALE's color (its alpha is the
+        # group opacity) and drops the SAVE's transform row.
+        assert np.asarray(opt[0].color)[3] == 0.5
+        assert keep is not None and list(keep) == [1, 2, 3, 4, 5, 6]
+        # A command between the pair blocks fusion.
+        blocker = DrawCommand(
+            RenderOperation.STENCIL, rect, translate(10 * SIZE, 0)
+        )
+        blocked = self._group_commands(rect, cover_all, 0.5, blocker)
+        opt2, keep2 = _optimize_commands(blocked)
+        assert len(opt2) == len(blocked) and keep2 is None
+        # Mismatched clip depth blocks fusion too.
+        mixed = self._group_commands(rect, cover_all, 0.5)
+        mixed[1] = DrawCommand(
+            RenderOperation.SCALE_ALPHA_CONTEXT, cover_all, ortho(),
+            color=(0, 0, 0, 0.5), clip_depth=1,
+        )
+        opt3, keep3 = _optimize_commands(mixed)
+        assert len(opt3) == len(mixed) and keep3 is None
+
+    def test_fused_matches_unfused_image(self):
+        renderer = Renderer(
+            Configuration(alpha_layer_count=1, blending="front_to_back"),
+            SIZE, SIZE,
+        )
+        rect, cover_all = self._shapes()
+        g = 0.5
+        fused = renderer.render(self._group_commands(rect, cover_all, g))
+        # An offscreen stencil between SAVE and SCALE blocks fusion and
+        # contributes nothing visible.
+        blocker = DrawCommand(
+            RenderOperation.STENCIL, rect, translate(10 * SIZE, 0)
+        )
+        unfused = renderer.render(
+            self._group_commands(rect, cover_all, g, blocker)
+        )
+        assert np.allclose(fused, unfused, atol=1e-6)
+        assert np.allclose(fused[32, 32], [g, 0, 1 - g, 1.0], atol=1e-4)
+
+    def test_frame_program_accepts_original_transform_layout(self):
+        """FrameProgram's public transform stack keeps one row per
+        original (command, instance) draw; fused-away SAVE rows are
+        dropped internally."""
+        r = Renderer(
+            Configuration(alpha_layer_count=1, blending="front_to_back"),
+            SIZE, SIZE,
+        )
+        rect, cover_all = self._shapes()
+        commands = self._group_commands(rect, cover_all, 0.5)
+        program = r.compile_frame(commands)
+        default = np.asarray(program())
+        explicit = np.asarray(
+            program(transforms=Renderer._pack_transforms(commands))
+        )
+        assert np.array_equal(default, explicit)
+        assert np.allclose(default[32, 32], [0.5, 0, 0.5, 1.0], atol=1e-4)
