@@ -285,51 +285,107 @@ def _interpolate_normal(start_tangent, end_tangent, angle_step, solve_for_normal
     return parameters
 
 
+def _normal_fan(start_tangent, end_tangent, angle_step):
+    """The (N, 2) direction components of `_interpolate_normal`'s
+    intermediate normals (the uniform polar walk, curve.rs:228-252),
+    or None when the walk has fewer than 2 steps."""
+    ps = complex(start_tangent[1], start_tangent[2])
+    pe = complex(end_tangent[1], end_tangent[2])
+    if ps == 0 or pe == 0 or not (np.isfinite(ps.real) and np.isfinite(pe.real)):
+        return None
+    polar_range = pe / ps
+    arg = math.atan2(polar_range.imag, polar_range.real)
+    if not math.isfinite(arg / angle_step):
+        return None
+    steps = int(abs(arg / angle_step) + 0.5)
+    if steps <= 1:
+        return None
+    k = np.arange(1, steps, dtype=np.float64)
+    rot = np.exp(1j * (arg / steps) * k) * ps
+    return np.stack([rot.real, rot.imag], axis=-1)
+
+
+def _first_root_in_unit_interval(r1, v1, r2, v2):
+    """Vectorized `_interpolate_normal` root selection: the first valid
+    candidate with a value in [0, 1], else the second, else 0."""
+    with np.errstate(invalid="ignore"):
+        ok1 = v1 & (r1 >= 0.0) & (r1 <= 1.0)
+        ok2 = v2 & (r2 >= 0.0) & (r2 <= 1.0)
+    return np.where(ok1, r1, np.where(ok2, r2, 0.0))
+
+
 def integral_quadratic_uniform_tangent_angle(
     power_basis, start_tangent, end_tangent, angle_step: float
 ) -> List[float]:
     """Parameters of an integral quadratic with uniform tangent angle
-    steps (curve.rs:305-322).  Includes the end parameter 1.0 but not 0.0."""
+    steps (curve.rs:305-322).  Includes the end parameter 1.0 but not
+    0.0.  All angle steps are solved in one batch (the scalar loop is
+    the stroke builder's hot path)."""
     pb = np.asarray(power_basis, dtype=np.float64)
     planes = [ga2d.dual_point(pb[1]), ga2d.dual_point(pb[2]) * 2.0]
-
-    def solve(normal):
-        return solve_linear(
-            (ga2d.inner_ll(normal, planes[0]), ga2d.inner_ll(normal, planes[1])),
-            ERROR_MARGIN,
-        )[1]
-
-    parameters = _interpolate_normal(start_tangent, end_tangent, angle_step, solve)
-    parameters.append(1.0)
-    return parameters
+    fan = _normal_fan(start_tangent, end_tangent, angle_step)
+    if fan is None:
+        return [1.0]
+    # solve_linear((n·p0, n·p1)): root -c0/c1 when |c1| > tolerance.
+    c0 = fan @ planes[0][1:3]
+    c1 = fan @ planes[1][1:3]
+    valid = np.abs(c1) > ERROR_MARGIN
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = -c0 / c1
+    params = _first_root_in_unit_interval(
+        t, valid, np.zeros_like(t), np.zeros_like(valid)
+    )
+    return list(params) + [1.0]
 
 
 def rational_quadratic_uniform_tangent_angle(
     power_basis, start_tangent, end_tangent, angle_step: float
 ) -> List[float]:
     """Parameters of a rational quadratic with uniform tangent angle
-    steps (curve.rs:354-380)."""
+    steps (curve.rs:354-380); all angle steps solved in one batch with
+    `solve_quadratic`'s exact case/order semantics."""
     pb = np.asarray(power_basis, dtype=np.float64)
     planes = [
         ga2d.join(pb[1], pb[0]),
         ga2d.join(pb[2], pb[0]) * 2.0,
         ga2d.join(pb[2], pb[1]),
     ]
-
-    def solve(normal):
-        n = ga2d.rotate_90_degree_clockwise(normal)
-        return solve_quadratic(
-            (
-                ga2d.inner_ll(n, planes[0]),
-                ga2d.inner_ll(n, planes[1]),
-                ga2d.inner_ll(n, planes[2]),
+    fan = _normal_fan(start_tangent, end_tangent, angle_step)
+    if fan is None:
+        return [1.0]
+    # n = rotate_90_degree_clockwise(normal): components (n_y, -n_x).
+    n = np.stack([fan[:, 1], -fan[:, 0]], axis=-1)
+    c0 = n @ planes[0][1:3]
+    c1 = n @ planes[1][1:3]
+    c2 = n @ planes[2][1:3]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        linear = np.abs(c2) <= ERROR_MARGIN
+        disc = c1 * c1 - 4.0 * c0 * c2
+        double = ~linear & (np.abs(disc) <= ERROR_MARGIN)
+        positive = ~linear & ~double & (disc > 0.0)
+        negative = ~linear & ~double & ~positive
+        sq = np.sqrt(np.where(positive, disc, 0.0))
+        q = -0.5 * (c1 + np.copysign(sq, c1))
+        # Candidate roots per solve_quadratic's return order:
+        # linear → (-c0/c1, —); double/negative → (-c1/(2c2), —)
+        # (complex pair's real part, matching the scalar selection);
+        # positive & q==0 → ((-c1±sq)/(2c2)); positive → (q/c2, c0/q).
+        r_lin = -c0 / c1
+        r_mid = -c1 / (2.0 * c2)
+        q_zero = positive & (q == 0.0)
+        r1 = np.where(
+            linear, r_lin,
+            np.where(
+                positive,
+                np.where(q_zero, (-c1 + sq) / (2.0 * c2), q / c2),
+                r_mid,
             ),
-            ERROR_MARGIN,
-        )[1]
-
-    parameters = _interpolate_normal(start_tangent, end_tangent, angle_step, solve)
-    parameters.append(1.0)
-    return parameters
+        )
+        r2 = np.where(q_zero, (-c1 - sq) / (2.0 * c2), c0 / q)
+    v1 = np.where(linear, np.abs(c1) > ERROR_MARGIN, True)
+    v2 = positive
+    params = _first_root_in_unit_interval(r1, v1, r2, v2)
+    return list(params) + [1.0]
 
 
 def _cubic_uniform_tangent_angle(

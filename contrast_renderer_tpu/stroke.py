@@ -103,19 +103,18 @@ class StrokeBuilder:
         self._strip = []
         if len(strip) < 3:
             return
-        for pos, _, _, _ in strip:
-            proto_hull.append(np.asarray(pos, dtype=np.float64))
-        for i in range(len(strip) - 2):
-            v = strip[i : i + 3]
-            xy = np.stack([p[0] for p in v])
-            aux = np.array([[p[1], p[2], 0.0, 0.0] for p in v])
-            provoking = v[0]
-            self._triangles.push(
-                xy,
-                KIND_STROKE_LINE,
-                aux=aux,
-                meta=(float(provoking[3]), float(provoking[2])),
-            )
+        pos = np.asarray([p[0] for p in strip], dtype=np.float64)
+        side = np.asarray([p[1] for p in strip], dtype=np.float64)
+        off = np.asarray([p[2] for p in strip], dtype=np.float64)
+        grp = np.asarray([p[3] for p in strip], dtype=np.float64)
+        proto_hull.extend(pos)
+        # Strip → triangle windows (i, i+1, i+2), provoking vertex i.
+        xy = np.stack([pos[:-2], pos[1:-1], pos[2:]], axis=1)
+        aux = np.zeros((len(strip) - 2, 3, 2), dtype=np.float64)
+        aux[..., 0] = np.stack([side[:-2], side[1:-1], side[2:]], axis=1)
+        aux[..., 1] = np.stack([off[:-2], off[1:-1], off[2:]], axis=1)
+        meta = np.stack([grp[:-2], off[:-2]], axis=1)
+        self._triangles.push_many(xy, KIND_STROKE_LINE, aux=aux, meta=meta)
 
     # -- joints ------------------------------------------------------------
 
@@ -215,20 +214,40 @@ class StrokeBuilder:
         parameters,
     ):
         """Sample a curve segment into offset vertex pairs
-        (stroke.rs:134-168)."""
+        (stroke.rs:134-168) — all samples evaluated in one batch."""
         previous = ga2d.point_to_vec(previous_point_h)
-        for t in parameters:
-            tangent = derivative_fn(power_basis, t)
-            if ga2d.squared_magnitude(tangent) == 0.0:
-                t_nudged = t + (np.finfo(np.float32).eps if t < 0.5 else -np.finfo(np.float32).eps)
-                tangent = derivative_fn(power_basis, t_nudged)
-            tangent = ga2d.signum(tangent)
-            point_h = point_fn(power_basis, t)
-            point = ga2d.point_to_vec(point_h)
-            length_accumulator += float(np.linalg.norm(point - previous))
-            self._emit_vertex_pair(opts, group, length_accumulator, point, tangent)
-            previous = point
-        return length_accumulator
+        ts = np.asarray(parameters, dtype=np.float64)
+        if ts.size == 0:
+            return length_accumulator
+        tangents = derivative_fn(power_basis, ts)  # (N, 3)
+        degenerate = ga2d.squared_magnitude(tangents) == 0.0
+        if np.any(degenerate):
+            # Zero-tangent samples: ε-nudge toward the curve interior
+            # (stroke.rs:134-168's zero-tangent handling).
+            eps = np.finfo(np.float32).eps
+            nudged = ts + np.where(ts < 0.5, eps, -eps)
+            tangents = np.where(
+                degenerate[..., None],
+                derivative_fn(power_basis, nudged),
+                tangents,
+            )
+        tangents = ga2d.signum(tangents)
+        points = ga2d.point_to_vec(point_fn(power_basis, ts))  # (N, 2)
+        deltas = np.linalg.norm(
+            np.diff(np.concatenate([previous[None], points]), axis=0),
+            axis=-1,
+        )
+        offsets = length_accumulator + np.cumsum(deltas)
+        width = opts.width
+        normals = tangents[..., 1:3]
+        path_offsets = offsets / width
+        lo = points + normals * ((opts.offset - 0.5) * width)
+        hi = points + normals * ((opts.offset + 0.5) * width)
+        strip = self._strip
+        for i in range(len(points)):
+            strip.append((lo[i], -0.5, path_offsets[i], group))
+            strip.append((hi[i], 0.5, path_offsets[i], group))
+        return float(offsets[-1])
 
     # -- main entry --------------------------------------------------------
 

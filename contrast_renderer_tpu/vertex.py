@@ -77,10 +77,17 @@ class TriangleBuilder:
     """Append-only accumulator producing a TriangleTable."""
 
     def __init__(self):
+        # Batches of (N, 3, 2) / (N, 3, 4) / (N,) / (N, 2); build()
+        # concatenates once — hot builders (strokes, glyph batches)
+        # push whole strips in one call instead of per-triangle.
         self.xy = []
         self.aux = []
         self.kind = []
         self.meta = []
+        self._count = 0
+
+    def __len__(self):
+        return self._count
 
     def push(self, xy, kind, aux=None, meta=(0.0, 0.0)):
         xy = np.asarray(xy, dtype=np.float64)
@@ -89,19 +96,46 @@ class TriangleBuilder:
         if aux is not None:
             aux = np.asarray(aux, dtype=np.float64)
             a[:, : aux.shape[1]] = aux
+        self.xy.append(xy[None])
+        self.aux.append(a[None])
+        self.kind.append(np.asarray([kind], dtype=np.int64))
+        self.meta.append(np.asarray(meta, dtype=np.float64)[None])
+        self._count += 1
+
+    def push_many(self, xy, kind, aux=None, meta=None):
+        """Append a batch: xy (N, 3, 2); kind scalar or (N,);
+        aux (N, 3, k≤4) or None; meta (N, 2) or None."""
+        xy = np.asarray(xy, dtype=np.float64)
+        n = len(xy)
+        if n == 0:
+            return
+        assert xy.shape == (n, 3, 2), xy.shape
+        a = np.zeros((n, 3, 4), dtype=np.float64)
+        if aux is not None:
+            aux = np.asarray(aux, dtype=np.float64)
+            a[:, :, : aux.shape[2]] = aux
+        k = np.broadcast_to(
+            np.asarray(kind, dtype=np.int64), (n,)
+        ).copy()
+        m = (
+            np.zeros((n, 2), dtype=np.float64)
+            if meta is None
+            else np.asarray(meta, dtype=np.float64).reshape(n, 2)
+        )
         self.xy.append(xy)
         self.aux.append(a)
-        self.kind.append(kind)
-        self.meta.append(np.asarray(meta, dtype=np.float64))
+        self.kind.append(k)
+        self.meta.append(m)
+        self._count += n
 
     def build(self) -> TriangleTable:
-        if not self.kind:
+        if not self._count:
             return TriangleTable.empty()
         return TriangleTable(
-            xy=np.asarray(self.xy, dtype=np.float32),
-            aux=np.asarray(self.aux, dtype=np.float32),
-            kind=np.asarray(self.kind, dtype=np.int32),
-            meta=np.asarray(self.meta, dtype=np.float32),
+            xy=np.concatenate(self.xy).astype(np.float32),
+            aux=np.concatenate(self.aux).astype(np.float32),
+            kind=np.concatenate(self.kind).astype(np.int32),
+            meta=np.concatenate(self.meta).astype(np.float32),
         )
 
 
