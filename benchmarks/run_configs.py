@@ -333,9 +333,55 @@ def config5(frames):
     )
 
 
+def config5_orbit(frames, width, height, label):
+    """Showcase under an orbiting camera: instance transforms change
+    every frame, so binning re-runs per frame — through the fused
+    FrameProgram (camera→binning→raster in ONE dispatch, the
+    reference's the-camera-is-just-a-matrix economics,
+    examples/showcase/main.rs:255-274)."""
+    import jax.numpy as jnp
+
+    from contrast_renderer_tpu.models import showcase
+    from contrast_renderer_tpu.renderer import Configuration, Renderer
+
+    renderer = Renderer(
+        Configuration(), width, height, strict_capacity=False,
+        tile_size=(int(os.environ["BENCH_TILE_H"])
+                   if os.environ.get("BENCH_TILE_H") else None),
+        fill_batch=(int(os.environ["BENCH_FILL_BATCH"])
+                    if os.environ.get("BENCH_FILL_BATCH") else None),
+    )
+    shape = showcase.build_shape(with_text=True)
+    commands = showcase.showcase_commands(shape, width, height)
+    program = renderer.compile_frame(commands)
+
+    def frame_fn(i):
+        angle = 0.05 * i
+        rotor = np.array(
+            [math.cos(angle / 2), 0.0, math.sin(angle / 2), 0.0]
+        )
+        transforms = showcase.command_transforms(
+            width, height, view_rotation=rotor
+        )
+        shape.set_dynamic_stroke_options(
+            0, showcase.dashed_options(i * 0.032)
+        )
+        return program(transforms)
+
+    fps = _timed_frames(frame_fn, frames)
+    emit(
+        label, fps, "frames/s",
+        {"commands": len(commands), "vs_60fps": round(fps / 60.0, 3)},
+    )
+
+
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--configs", default="1,2,3,4,5")
+    parser.add_argument(
+        "--configs", default="1,2,3,4,5,6,7",
+        help="1-5: BASELINE.json configs; 6: 1080p orbit (row 5c); "
+             "7: 4K orbit (row 5d)",
+    )
     parser.add_argument("--frames", type=int, default=16)
     args = parser.parse_args()
     os.environ.setdefault(
@@ -345,11 +391,18 @@ def main():
     wanted = {int(x) for x in args.configs.split(",")}
     fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
     for index in sorted(wanted):
-        fn = fns[index]
         if index == 1:
-            fn()
+            config1()
+        elif index == 6:
+            config5_orbit(
+                args.frames, 1920, 1080, "config5c_showcase_1080p_orbit"
+            )
+        elif index == 7:
+            config5_orbit(
+                args.frames, 3840, 2160, "config5d_showcase_4k_orbit"
+            )
         else:
-            fn(args.frames)
+            fns[index](args.frames)
 
 
 if __name__ == "__main__":
