@@ -140,6 +140,36 @@ class TestMultiChip:
         mismatch = np.mean(np.abs(sharded - single))
         assert mismatch < 1e-4, mismatch
 
+    def test_band_sharded_clip_alpha_matches_single(self, shape):
+        """Nested clips + a transparency group through the sharded
+        pipeline: the fused SAVE+SCALE cover (OP_SAVE_SCALE) and the
+        clip/alpha algebra must survive sub-rect-adjusted projections."""
+        import jax
+        from jax.sharding import Mesh
+
+        from contrast_renderer_tpu.parallel import render_sharded
+
+        cpu_devices = jax.devices("cpu")
+        n = min(4, len(cpu_devices))
+        assert n >= 2, "need multiple virtual CPU devices (XLA_FLAGS)"
+        width, height = 64, 64
+        mesh = Mesh(np.array(cpu_devices[:n]), ("y",))
+        config = Configuration(
+            alpha_layer_count=1, blending="front_to_back"
+        )
+        full = showcase.showcase_commands_clip_alpha(shape, width, height)
+        commands = full[:8] + full[-3:]
+        renderer = Renderer(config, width, height, tile_size=16)
+        sharded = render_sharded(renderer, commands, mesh)
+        with jax.default_device(cpu_devices[0]):
+            single_renderer = Renderer(
+                config, width, height, tile_size=16, interpret=True
+            )
+            single = single_renderer.render(commands)
+        assert sharded.shape == single.shape
+        mismatch = np.mean(np.abs(sharded - single))
+        assert mismatch < 1e-4, mismatch
+
     def test_tile_grid_2d_sharded_matches_single(self, shape):
         import jax
         from jax.sharding import Mesh
