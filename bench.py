@@ -102,7 +102,7 @@ def main():
         if clip_alpha
         else showcase.showcase_commands
     )
-    kwargs = {} if clip_alpha else {"instanced": instanced}
+    kwargs = {"instanced": instanced}
     if on_accelerator:
         commands = make_commands(shape, width, height, **kwargs)
     else:
@@ -128,8 +128,7 @@ def main():
             )
             transforms = showcase.command_transforms(
                 width, height, clip_alpha=clip_alpha,
-                instanced=instanced and not clip_alpha,
-                view_rotation=rotor,
+                instanced=instanced, view_rotation=rotor,
             )
             shape.set_dynamic_stroke_options(
                 0, showcase.dashed_options(t * 2.0)
@@ -196,7 +195,7 @@ def main():
         f"showcase_fps_{width}x{height}"
         + ("_orbit" if orbit else "")
         + ("_clipalpha" if clip_alpha else "")
-        + ("_instanced" if instanced and not clip_alpha else "")
+        + ("_instanced" if instanced else "")
         + ("" if with_text else "_notext")
     )
     record = {

@@ -224,7 +224,7 @@ GROUP_OPACITY = 0.6
 
 
 def showcase_commands_clip_alpha(
-    shape: Shape, width: int, height: int, **camera
+    shape: Shape, width: int, height: int, instanced: bool = False, **camera
 ) -> List[DrawCommand]:
     """The showcase wrapped in two nested clip levels and one
     transparency group — BASELINE.json config 5 as written ("nested
@@ -271,21 +271,34 @@ def showcase_commands_clip_alpha(
             color=(0.0, 0.0, 0.0, GROUP_OPACITY),
         ),
     ]
-    for transform, color in zip(transforms, colors):
-        commands.append(
+    if instanced:
+        # One Stencil + one Color carrying all instances (see
+        # showcase_commands on the compositing difference).
+        commands += [
             DrawCommand(
-                RenderOperation.STENCIL, shape, transform, clip_depth=2
-            )
-        )
-        commands.append(
+                RenderOperation.STENCIL, shape, transforms, clip_depth=2
+            ),
             DrawCommand(
-                RenderOperation.COLOR,
-                shape,
-                transform,
-                color=tuple(color),
-                clip_depth=2,
+                RenderOperation.COLOR, shape, transforms,
+                color=colors, clip_depth=2,
+            ),
+        ]
+    else:
+        for transform, color in zip(transforms, colors):
+            commands.append(
+                DrawCommand(
+                    RenderOperation.STENCIL, shape, transform, clip_depth=2
+                )
             )
-        )
+            commands.append(
+                DrawCommand(
+                    RenderOperation.COLOR,
+                    shape,
+                    transform,
+                    color=tuple(color),
+                    clip_depth=2,
+                )
+            )
     commands += [
         DrawCommand(
             RenderOperation.RESTORE_ALPHA_CONTEXT,

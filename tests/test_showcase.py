@@ -74,6 +74,27 @@ class TestShowcase:
         )
         assert diff.max() < 1e-5
 
+    def test_clip_alpha_instanced_variant(self, shape):
+        """The clipped/grouped showcase with ONE instanced stencil/color
+        pair: same clip gating, group scaling applies, and the command
+        walk collapses (6 prologue + 2 + 3 epilogue)."""
+        size = 96
+        config = Configuration(
+            alpha_layer_count=1, blending="front_to_back"
+        )
+        renderer = Renderer(config, size, size)
+        commands = showcase.showcase_commands_clip_alpha(
+            shape, size, size, instanced=True
+        )
+        assert len(commands) == 11
+        assert commands[6].n_instances == 1 + showcase.ROWS * showcase.COLUMNS
+        image = renderer.render(commands)
+        assert np.isfinite(image).all()
+        # Outside the rounded outer clip: nothing.
+        assert np.abs(image[:2, :2]).max() == 0.0
+        # Content renders inside the clip.
+        assert (image[..., 3] > 0.01).sum() > 50
+
     def test_frame_program_matches_render(self, shape):
         """The fused FrameProgram (one dispatch, transforms as runtime
         input) renders the same pixels as Renderer.render for moved
