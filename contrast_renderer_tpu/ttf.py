@@ -108,13 +108,33 @@ class Face:
                 score = 3
             elif platform == 0:
                 score = 2
-            if fmt in (4, 12) and (best is None or score > best[0]):
+            if fmt not in (0, 4, 6, 12):
+                continue
+            # Prefer the segmented Unicode formats; the byte/trimmed
+            # formats (0, 6) are legacy fallbacks some fonts ship alone.
+            if fmt in (0, 6):
+                score -= 10
+            if best is None or score > best[0]:
                 best = (score, fmt, offset)
         if best is None:
             return {}
         _, fmt, offset = best
         mapping: Dict[int, int] = {}
-        if fmt == 4:
+        if fmt == 0:
+            # Byte encoding table: 256 one-byte glyph ids.
+            for code in range(256):
+                glyph = data[offset + 6 + code]
+                if glyph != 0:
+                    mapping[code] = glyph
+        elif fmt == 6:
+            # Trimmed table: dense u16 range [first, first + count).
+            first = _u16(data, offset + 6)
+            count = _u16(data, offset + 8)
+            for i in range(count):
+                glyph = _u16(data, offset + 10 + 2 * i)
+                if glyph != 0:
+                    mapping[first + i] = glyph
+        elif fmt == 4:
             seg_count = _u16(data, offset + 6) // 2
             ends = [_u16(data, offset + 14 + 2 * i) for i in range(seg_count)]
             starts = [

@@ -242,3 +242,42 @@ class TestShapeOfText:
         b = shape_of_text(font.face, layout, "abc")
         assert len(a.triangles) == 2 * len(b.triangles)
         assert getattr(font.face, "_glyph_table_cache", None)
+
+
+class TestCmapLegacyFormats:
+    """cmap formats 0 (byte) and 6 (trimmed) — legacy tables some fonts
+    ship alone (ttf-parser supports them; OpenSans itself uses 4/12)."""
+
+    @staticmethod
+    def _parse(payload):
+        import struct
+
+        from contrast_renderer_tpu import ttf
+
+        face = ttf.Face.__new__(ttf.Face)
+        face.data = (
+            struct.pack(">HH", 0, 1)
+            + struct.pack(">HHI", 0, 3, 12)
+            + payload
+        )
+        face.tables = {"cmap": (0, len(face.data))}
+        return ttf.Face._parse_cmap(face)
+
+    def test_format0(self):
+        import struct
+
+        payload = struct.pack(">HHH", 0, 262, 0) + bytes(
+            [(i % 200) for i in range(256)]
+        )
+        mapping = self._parse(payload)
+        assert mapping[1] == 1 and mapping[199] == 199
+        assert 0 not in mapping and 200 not in mapping  # glyph 0 skipped
+
+    def test_format6(self):
+        import struct
+
+        payload = struct.pack(">HHHHH", 6, 16, 0, 65, 3) + struct.pack(
+            ">HHH", 7, 0, 9
+        )
+        mapping = self._parse(payload)
+        assert mapping == {65: 7, 67: 9}
