@@ -192,6 +192,12 @@ class FrameSpec:
     #: from all its instances' triangles; a cover command replays its
     #: per-instance hull covers in instance order.  () = all 1.
     cmd_inst: tuple = ()
+    #: Per-command paint kinds (0 solid, 1 linear gradient, 2 radial
+    #: gradient).  () = all solid; any nonzero compiles the gradient
+    #: interpolation into the color cover (a TPU-native extension — the
+    #: reference's color cover is always solid, shaders.wgsl:304-309,
+    #: and custom paints require user shaders).
+    paints: tuple = ()
     tile_h: int = 32
     tile_w: int = 128
     capacity: int = 256             # per-tile local entry rows
@@ -291,6 +297,7 @@ class PreparedFrame(NamedTuple):
     aclist: jnp.ndarray   # (n_tiles, 1, U) active unit indices
     acount: jnp.ndarray   # (n_tiles, 1, 1)
     hull_lines: jnp.ndarray  # (Rc, Hm, 4) inward-oriented pixel lines
+    paint_xy: jnp.ndarray    # (Rc, 4) gradient endpoints in pixels
     overflow: jnp.ndarray    # (4,) max local count, global count,
     #                          max tile globals, near-plane crossings
 
@@ -392,7 +399,8 @@ def make_prepare(spec: FrameSpec):
     mx, my = spec.slots_x, spec.slots_y
     M = mx * my
 
-    def prepare(xy, aux, kind, meta, gbase, hull, transforms, desc_static):
+    def prepare(xy, aux, kind, meta, gbase, hull, transforms, desc_static,
+                paint_model=None):
         """xy (Ns,T,3,2) aux (Ns,T,3,4) kind (Ns,T) meta (Ns,T,2)
         gbase (Ns,) hull (Ns,Hm,2) transforms (R,4,4) — one row per
         (command, instance) draw, commands in order
@@ -400,7 +408,10 @@ def make_prepare(spec: FrameSpec):
         desc_static (n_groups, 2) = [dashed, last_interval] per stroke
         group — determines each stroke entry's dash class so the kernel
         dispatches statically (re-binning when a pattern's interval
-        count changes; phase/gap animation stays runtime)."""
+        count changes; phase/gap animation stays runtime);
+        paint_model (Rc, 2, 2) optional model-space gradient endpoints
+        per cover draw — transformed alongside the hulls so gradients
+        track camera motion."""
         f32 = jnp.float32
         i32 = jnp.int32
 
@@ -810,6 +821,34 @@ def make_prepare(spec: FrameSpec):
         hp = hull[jnp.asarray(cmd_shape[draws.c_cmd])]   # (Rc, Hm, 2)
         ctf = transforms[jnp.asarray(draws.c_row)]       # (Rc, 4, 4)
         Cc = Rc
+
+        # ---- gradient paint endpoints: model → pixel space -------------
+        # Two points per cover draw (linear: start/end; radial:
+        # center/rim); the same projection as the hulls, so paints ride
+        # camera motion for free.  Zeros when the frame has no paints.
+        if paint_model is None:
+            paint_xy = jnp.zeros((Rc, 4), f32)
+        else:
+            ph = jnp.concatenate(
+                [
+                    jnp.asarray(paint_model, f32),
+                    jnp.zeros((Rc, 2, 1), f32),
+                    jnp.ones((Rc, 2, 1), f32),
+                ],
+                axis=-1,
+            )
+            pclip = jnp.einsum(
+                "cpk,crk->cpr", ph, ctf,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            pw = pclip[..., 3]
+            piw = jnp.where(jnp.abs(pw) > 1e-6, 1.0 / pw, 0.0)
+            pndc = pclip[..., :2] * piw[..., None]
+            ppx = (pndc[..., 0] + 1.0) * (0.5 * W)
+            ppy = (1.0 - pndc[..., 1]) * (0.5 * H)
+            paint_xy = jnp.stack(
+                [ppx[:, 0], ppy[:, 0], ppx[:, 1], ppy[:, 1]], axis=-1
+            )
         ones = jnp.ones((Cc, Hm, 1), f32)
         hclip = jnp.einsum(
             "chk,crk->chr",
@@ -954,6 +993,7 @@ def make_prepare(spec: FrameSpec):
             aclist=aclist[:, None, :],
             acount=acount[:, None, None],
             hull_lines=hull_lines,
+            paint_xy=paint_xy,
             overflow=overflow,
         )
 
@@ -1109,10 +1149,11 @@ def make_rasterize(spec: FrameSpec):
             | (ops_np == OP_SAVE_SCALE)
         )
     )
+    has_paint = bool(any(spec.paints))
 
     def kernel(
-        cmd_i, cmd_f, unit_cmd_s, unit_draw_s, acount, aclist, off,
-        g_off, bulk, cls, hbits,
+        cmd_i, cmd_f, paint_xy, unit_cmd_s, unit_draw_s, acount, aclist,
+        off, g_off, bulk, cls, hbits,
         tri_f, tri_i, g_tri_f, g_tri_i, hull_lines, desc_f, desc_i,
         out_ref, *scratch,
     ):
@@ -1567,7 +1608,38 @@ def make_rasterize(spec: FrameSpec):
                         mask = in_hull & nonzero
                         if clip_ok is not None:
                             mask = mask & clip_ok
-                        src = (cr * ca, cg * ca, cb * ca, ca)
+                        if has_paint:
+                            # Gradient paints (TPU-native extension):
+                            # interpolate the two stops per sample along
+                            # the projected endpoints, then premultiply.
+                            pk = cmd_i[c, 3]
+                            pax = paint_xy[d, 0]
+                            pay = paint_xy[d, 1]
+                            pdx = paint_xy[d, 2] - pax
+                            pdy = paint_xy[d, 3] - pay
+                            pden = jnp.maximum(
+                                pdx * pdx + pdy * pdy, jnp.float32(1e-12)
+                            )
+                            rel_x = px - pax
+                            rel_y = py - pay
+                            t_lin = (rel_x * pdx + rel_y * pdy) / pden
+                            t_rad = jnp.sqrt(
+                                (rel_x * rel_x + rel_y * rel_y) / pden
+                            )
+                            t = jnp.where(
+                                pk == 2, t_rad,
+                                jnp.where(pk == 1, t_lin, 0.0),
+                            )
+                            t = jnp.clip(t, 0.0, 1.0)
+                            pr = cr + (cmd_f[d, 4] - cr) * t
+                            pg = cg + (cmd_f[d, 5] - cg) * t
+                            pb = cb + (cmd_f[d, 6] - cb) * t
+                            pa = ca + (cmd_f[d, 7] - ca) * t
+                            src = (pr * pa, pg * pa, pb * pa, pa)
+                            sa = pa  # per-sample src alpha for factors
+                        else:
+                            src = (cr * ca, cg * ca, cb * ca, ca)
+                            sa = ca
                         # Generic wgpu blend state (renderer.rs:381),
                         # emitted statically per spec — the named modes
                         # (over, front-to-back, additive) fold to the
@@ -1581,7 +1653,7 @@ def make_rasterize(spec: FrameSpec):
                             colorb[chan] = jnp.where(
                                 mask,
                                 _blend_channel(
-                                    comp, src[chan], colorb[chan], ca, da
+                                    comp, src[chan], colorb[chan], sa, da
                                 ),
                                 colorb[chan],
                             )
@@ -1689,6 +1761,7 @@ def make_rasterize(spec: FrameSpec):
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),                       # cmd_i
         pl.BlockSpec(memory_space=pltpu.SMEM),                       # cmd_f
+        pl.BlockSpec(memory_space=pltpu.SMEM),                       # paint_xy
         pl.BlockSpec(memory_space=pltpu.SMEM),                       # unit_cmd
         pl.BlockSpec(memory_space=pltpu.SMEM),                       # unit_draw
         pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
@@ -1742,7 +1815,7 @@ def make_rasterize(spec: FrameSpec):
 
     def rasterize(prepared: PreparedFrame, cmd_i, cmd_f, desc_f, desc_i):
         tiles = raster_call(
-            cmd_i, cmd_f, unit_cmd_dev, unit_draw_dev,
+            cmd_i, cmd_f, prepared.paint_xy, unit_cmd_dev, unit_draw_dev,
             prepared.acount, prepared.aclist, prepared.off, prepared.g_off,
             prepared.bulk, prepared.cls, prepared.hbits,
             prepared.tri_f, prepared.tri_i,

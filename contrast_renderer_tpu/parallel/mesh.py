@@ -66,7 +66,7 @@ def _sub_renderer(renderer, width, height, platform):
 
 
 def _packed_pipeline(sub, commands):
-    from ..renderer import Renderer, _optimize_commands
+    from ..renderer import Renderer, _optimize_commands, _paint_kind
 
     sub._validate(commands)
     commands, _ = _optimize_commands(commands)
@@ -74,7 +74,8 @@ def _packed_pipeline(sub, commands):
     _, scene = sub._scene_arrays(shapes)
     ops = tuple(int(c.operation) for c in commands)
     cmd_shape = tuple(shape_index[id(c.shape)] for c in commands)
-    spec = sub._spec(ops, cmd_shape, (), scene)
+    paints = tuple(_paint_kind(c.color) for c in commands)
+    spec = sub._spec(ops, cmd_shape, (), scene, paints)
     prepare, rasterize = sub._get_executors(spec)
     cmd_i, cmd_f = Renderer._pack_commands_runtime(commands)
     desc_f, desc_i = Renderer._pack_descriptors(shapes)
@@ -83,7 +84,7 @@ def _packed_pipeline(sub, commands):
         [np.asarray(c.transform, np.float32) for c in commands]
     )
     return (scene.arrays, prepare, rasterize, cmd_i, cmd_f, desc_f, desc_i,
-            desc_static, transform)
+            desc_static, transform, Renderer._pack_paints(commands))
 
 
 def _run_with_growth(sub, commands, run_once):
@@ -116,13 +117,15 @@ def render_sharded(renderer, commands, mesh: Mesh, axis: str = "y"):
     sub = _sub_renderer(renderer, renderer.width, band_height, platform)
 
     def run_once(scene_arrays, prepare, rasterize, cmd_i, cmd_f,
-                 desc_f, desc_i, desc_static, transform):
+                 desc_f, desc_i, desc_static, transform, paint_model):
         def per_band(band_index, transforms):
             adjusted = band_adjusted_transform(
                 transforms, band_index[0], num_bands
             )
-            prepared = prepare(*scene_arrays, adjusted,
-                               jnp.asarray(desc_static))
+            prepared = prepare(
+                *scene_arrays, adjusted, jnp.asarray(desc_static),
+                None if paint_model is None else jnp.asarray(paint_model),
+            )
             image = rasterize(prepared, cmd_i, cmd_f, desc_f, desc_i)
             return image, prepared.overflow[None]
 
@@ -156,13 +159,15 @@ def render_sharded_2d(
     sub = _sub_renderer(renderer, sub_w, sub_h, platform)
 
     def run_once(scene_arrays, prepare, rasterize, cmd_i, cmd_f,
-                 desc_f, desc_i, desc_static, transform):
+                 desc_f, desc_i, desc_static, transform, paint_model):
         def per_rect(by, bx, transforms):
             adjusted = rect_adjusted_transform(
                 transforms, by[0], ny, bx[0], nx
             )
-            prepared = prepare(*scene_arrays, adjusted,
-                               jnp.asarray(desc_static))
+            prepared = prepare(
+                *scene_arrays, adjusted, jnp.asarray(desc_static),
+                None if paint_model is None else jnp.asarray(paint_model),
+            )
             image = rasterize(prepared, cmd_i, cmd_f, desc_f, desc_i)
             return image, prepared.overflow[None, None]
 

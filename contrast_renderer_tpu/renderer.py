@@ -120,6 +120,50 @@ class BlendState:
         )
 
 
+@dataclass(frozen=True)
+class LinearGradient:
+    """Two-stop linear gradient paint for COLOR covers (a TPU-native
+    extension: the reference's color cover is solid-only,
+    shaders.wgsl:304-309; custom paints there require user pipelines).
+
+    ``start``/``end`` are model-space points (projected with the draw's
+    transform, so the gradient tracks instancing and camera motion);
+    the paint is ``color0`` at/before ``start`` and ``color1``
+    at/after ``end``, interpolated per MSAA sample and then
+    premultiplied.  Pass as ``DrawCommand(color=LinearGradient(...))``.
+    Multi-stop gradients compose from multiple covers."""
+
+    start: Tuple[float, float]
+    end: Tuple[float, float]
+    color0: Tuple[float, float, float, float]
+    color1: Tuple[float, float, float, float]
+    kind = 1
+
+    def points(self):
+        return np.asarray([self.start, self.end], np.float32)
+
+
+@dataclass(frozen=True)
+class RadialGradient:
+    """Two-stop radial gradient paint: ``color0`` at ``center``,
+    ``color1`` at/beyond the rim point ``edge`` (model space — the rim
+    point, rather than a scalar radius, projects correctly under the
+    draw transform)."""
+
+    center: Tuple[float, float]
+    edge: Tuple[float, float]
+    color0: Tuple[float, float, float, float]
+    color1: Tuple[float, float, float, float]
+    kind = 2
+
+    def points(self):
+        return np.asarray([self.center, self.edge], np.float32)
+
+
+def _paint_kind(color) -> int:
+    return getattr(color, "kind", 0)
+
+
 #: The named shorthands as BlendStates.
 NAMED_BLEND_STATES = {
     "back_to_front": BlendState(
@@ -605,6 +649,12 @@ class Renderer:
                 RenderOperation.RESTORE_ALPHA_CONTEXT,
             ) and command.alpha_layer >= config.alpha_layer_count:
                 raise TooManyNestedOpacityGroups(str(command.alpha_layer))
+            if _paint_kind(command.color):
+                if command.operation != RenderOperation.COLOR:
+                    raise ValueError(
+                        "gradient paints apply only to Color commands"
+                    )
+                continue
             color = np.asarray(command.color)
             if color.ndim == 2 and color.shape[0] not in (
                 1, command.n_instances
@@ -643,7 +693,8 @@ class Renderer:
             self._scene_cache[key] = scene
         return key, scene
 
-    def _spec(self, ops, cmd_shape, cmd_inst, scene) -> coverage.FrameSpec:
+    def _spec(self, ops, cmd_shape, cmd_inst, scene,
+              paints=()) -> coverage.FrameSpec:
         # Auto-tuning by scene density (padded triangles per shape is
         # the static proxy for per-tile entry range length).  Measured
         # on v5e (BASELINE configs): a 296k-triangle glyph scene runs
@@ -665,6 +716,7 @@ class Renderer:
             ops=ops,
             cmd_shape=cmd_shape,
             cmd_inst=cmd_inst,
+            paints=paints if any(paints) else (),
             n_shapes=scene.n_shapes,
             t_max=scene.t_max,
             h_max=scene.h_max,
@@ -745,7 +797,8 @@ class Renderer:
         """
         cmd_i = np.array(
             [
-                [int(c.operation), c.clip_depth, c.alpha_layer, 0]
+                [int(c.operation), c.clip_depth, c.alpha_layer,
+                 _paint_kind(c.color)]
                 for c in commands
             ],
             np.int32,
@@ -754,18 +807,52 @@ class Renderer:
         for c in commands:
             if c.operation == RenderOperation.STENCIL:
                 continue
+            if _paint_kind(c.color):
+                # Gradient stops: color0 | color1 per draw row.
+                row = np.concatenate(
+                    [
+                        np.asarray(c.color.color0, np.float32),
+                        np.asarray(c.color.color1, np.float32),
+                    ]
+                )[None]
+                rows.append(np.broadcast_to(row, (c.n_instances, 8)))
+                continue
             color = np.asarray(c.color, np.float32).reshape(-1, 4)
-            rows.append(
+            color = (
                 np.broadcast_to(color, (c.n_instances, 4))
                 if color.shape[0] == 1
                 else color
             )
-        colors = (
-            np.concatenate(rows) if rows else np.zeros((1, 4), np.float32)
+            rows.append(
+                np.concatenate(
+                    [color, np.zeros((len(color), 4), np.float32)], axis=1
+                )
+            )
+        cmd_f = (
+            np.ascontiguousarray(np.concatenate(rows))
+            if rows
+            else np.zeros((1, 8), np.float32)
         )
-        cmd_f = np.zeros((len(colors), 8), np.float32)
-        cmd_f[:, 0:4] = colors
         return cmd_i, cmd_f
+
+    @staticmethod
+    def _pack_paints(commands):
+        """Model-space gradient endpoints, one (2, 2) row per cover
+        draw (coverage.draw_tables order), or None when every paint is
+        solid."""
+        if not any(_paint_kind(c.color) for c in commands):
+            return None
+        rows = []
+        for c in commands:
+            if c.operation == RenderOperation.STENCIL:
+                continue
+            pts = (
+                c.color.points()
+                if _paint_kind(c.color)
+                else np.zeros((2, 2), np.float32)
+            )
+            rows.append(np.broadcast_to(pts[None], (c.n_instances, 2, 2)))
+        return np.ascontiguousarray(np.concatenate(rows), dtype=np.float32)
 
     def _dev_cached(self, name: str, arr: np.ndarray):
         """Device copy of `arr`, re-uploaded only when its bytes change."""
@@ -851,6 +938,8 @@ class Renderer:
         cmd_shape = tuple(shape_index[id(c.shape)] for c in commands)
         inst = tuple(c.n_instances for c in commands)
         cmd_inst = inst if any(n != 1 for n in inst) else ()
+        paints = tuple(_paint_kind(c.color) for c in commands)
+        paint_model = self._pack_paints(commands)
         transforms = self._pack_transforms(commands)
         require_finite(transforms, "command transforms")
         desc_f, desc_i = self._pack_descriptors(shapes)
@@ -860,19 +949,26 @@ class Renderer:
         desc_static = np.ascontiguousarray(desc_i[:, [9, 8]])
 
         for _attempt in range(4):
-            spec = self._spec(ops, cmd_shape, cmd_inst, scene)
+            spec = self._spec(ops, cmd_shape, cmd_inst, scene, paints)
             prepare, rasterize = self._get_executors(spec)
             pkey = (
-                spec, scene_key, transforms.tobytes(), desc_static.tobytes()
+                spec, scene_key, transforms.tobytes(), desc_static.tobytes(),
+                None if paint_model is None else paint_model.tobytes(),
             )
             cached = self._prepared_cache.get(pkey)
             if cached is not None:
                 prepared, self.stats = cached
             else:
+                paint_args = (
+                    ()
+                    if paint_model is None
+                    else (self._dev_cached("paints", paint_model),)
+                )
                 prepared = prepare(
                     *scene.arrays,
                     self._dev_cached("transforms", transforms),
                     self._dev_cached("desc_static", desc_static),
+                    *paint_args,
                 )
                 limits = (
                     spec.capacity,
@@ -1000,6 +1096,8 @@ class FrameProgram:
         self._shapes, shape_index = renderer._unique_shapes(opt)
         self._ops = tuple(int(c.operation) for c in opt)
         self._cmd_shape = tuple(shape_index[id(c.shape)] for c in opt)
+        self._paints = tuple(_paint_kind(c.color) for c in opt)
+        self._paint_model = Renderer._pack_paints(opt)
         inst = tuple(c.n_instances for c in opt)
         self._cmd_inst = inst if any(n != 1 for n in inst) else ()
         # Settle binning capacities with one strict prepare so the
@@ -1019,22 +1117,25 @@ class FrameProgram:
         _, scene = renderer._scene_arrays(self._shapes)
         self._scene = scene
         spec = renderer._spec(
-            self._ops, self._cmd_shape, self._cmd_inst, scene
+            self._ops, self._cmd_shape, self._cmd_inst, scene, self._paints
         )
         self._spec = spec
         prepare = coverage.make_prepare(spec)
         rasterize = coverage.make_rasterize(spec)
 
         def step(scene_arrays, transforms, desc_static, cmd_i, cmd_f,
-                 desc_f, desc_i):
-            prepared = prepare(*scene_arrays, transforms, desc_static)
+                 desc_f, desc_i, paint_model):
+            prepared = prepare(
+                *scene_arrays, transforms, desc_static, paint_model
+            )
             image = rasterize(prepared, cmd_i, cmd_f, desc_f, desc_i)
             return image, prepared.overflow
 
         def step_carry(carry, scene_arrays, transforms, desc_static,
-                       cmd_i, cmd_f, desc_f, desc_i):
+                       cmd_i, cmd_f, desc_f, desc_i, paint_model):
             image, overflow = step(scene_arrays, transforms, desc_static,
-                                   cmd_i, cmd_f, desc_f, desc_i)
+                                   cmd_i, cmd_f, desc_f, desc_i,
+                                   paint_model)
             # Fold the completion probe into the frame program: a real
             # data dependency per frame in ONE dispatch (every extra
             # launch costs a full round trip on remote links).
@@ -1125,6 +1226,11 @@ class FrameProgram:
             self._cmd_f,
             renderer._dev_cached("fp_desc_f", desc_f),
             renderer._dev_cached("fp_desc_i", desc_i),
+            (
+                None
+                if self._paint_model is None
+                else renderer._dev_cached("fp_paints", self._paint_model)
+            ),
         )
         if carry is None:
             image, overflow = self._step(*args)

@@ -384,12 +384,30 @@ class TestFuzzClipAlpha:
                 Path.from_regular_polygon((cx, cy), r, rng.uniform(0, 3), 5)
             ]
 
+        from contrast_renderer_tpu.renderer import (
+            LinearGradient,
+            RadialGradient,
+            _paint_kind,
+        )
+
         for scene_index in range(2):
             path_lists = [random_shape_paths() for _ in range(3)]
             shapes = [Shape(p) for p in path_lists]
             clip_shape, content, overlay = shapes
             colors = rng.uniform(0.1, 1.0, (3, 4)).astype(np.float32)
             group_opacity = float(rng.uniform(0.3, 0.9))
+            # Scene 1 paints the group content with a random gradient
+            # (linear then radial would need a third scene; alternate).
+            if scene_index == 1:
+                pts = rng.uniform(10, SIZE - 10, (2, 2))
+                stops = rng.uniform(0.1, 1.0, (2, 4))
+                paint_cls = LinearGradient if rng.integers(2) else RadialGradient
+                content_color = paint_cls(
+                    tuple(pts[0]), tuple(pts[1]),
+                    tuple(stops[0]), tuple(stops[1]),
+                )
+            else:
+                content_color = tuple(colors[1])
 
             commands = [
                 DrawCommand(RenderOperation.STENCIL, clip_shape, ortho()),
@@ -410,7 +428,7 @@ class TestFuzzClipAlpha:
                 ),
                 DrawCommand(
                     RenderOperation.COLOR, content, ortho(),
-                    color=tuple(colors[1]), clip_depth=1,
+                    color=content_color, clip_depth=1,
                 ),
                 DrawCommand(
                     RenderOperation.RESTORE_ALPHA_CONTEXT, overlay,
@@ -452,17 +470,42 @@ class TestFuzzClipAlpha:
                     continue
                 in_hull = hull[id(cmd.shape)]
                 nonzero = (wind & winding_mask) != 0
-                ca = float(np.asarray(cmd.color)[3])
+                pk = _paint_kind(cmd.color)
+                ca = 0.0 if pk else float(np.asarray(cmd.color)[3])
                 if op == RenderOperation.COLOR:
                     mask = in_hull & nonzero & clip_ok
-                    src = np.asarray(cmd.color, np.float64)
-                    src = np.array(
-                        [src[0] * ca, src[1] * ca, src[2] * ca, ca]
-                    )
+                    if pk:
+                        # Gradient: per-sample two-stop interpolation in
+                        # pixel space (endpoints through the same
+                        # model→pixel map as the winding positions).
+                        pts = m2p(
+                            cmd.color.points().astype(np.float64).copy()
+                        )
+                        delta = pts[1] - pts[0]
+                        den = max(float(delta @ delta), 1e-12)
+                        rel = flat - pts[0][None]
+                        if pk == 1:
+                            t = (rel @ delta) / den
+                        else:
+                            t = np.sqrt((rel * rel).sum(-1) / den)
+                        t = np.clip(t, 0.0, 1.0)[:, None]
+                        c0 = np.asarray(cmd.color.color0, np.float64)
+                        c1 = np.asarray(cmd.color.color1, np.float64)
+                        rgba = c0[None] + (c1 - c0)[None] * t
+                        src = np.concatenate(
+                            [rgba[:, :3] * rgba[:, 3:4], rgba[:, 3:4]],
+                            axis=1,
+                        )
+                    else:
+                        s = np.asarray(cmd.color, np.float64)
+                        src = np.broadcast_to(
+                            np.array([s[0] * ca, s[1] * ca, s[2] * ca, ca]),
+                            (n, 4),
+                        )
                     remaining = 1.0 - color[:, 3]
                     color = np.where(
                         mask[:, None],
-                        color + src[None] * remaining[:, None],
+                        color + src * remaining[:, None],
                         color,
                     )
                     wind = np.where(mask, 0, wind)

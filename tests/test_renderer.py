@@ -732,3 +732,97 @@ class TestSaveScaleFusion:
         )
         assert np.array_equal(default, explicit)
         assert np.allclose(default[32, 32], [0.5, 0, 0.5, 1.0], atol=1e-4)
+
+
+class TestGradientPaints:
+    """Two-stop linear/radial gradient paints (TPU-native extension:
+    the reference's color cover is solid-only, shaders.wgsl:304-309).
+    Validated per MSAA sample against the analytic interpolation."""
+
+    def test_linear_gradient_matches_analytic(self, renderer):
+        from contrast_renderer_tpu.renderer import LinearGradient
+
+        rect = Shape([Path.from_rect((32, 32), (24, 24))])
+        paint = LinearGradient(
+            start=(16.0, 32.0), end=(48.0, 32.0),
+            color0=(1.0, 0.0, 0.0, 1.0), color1=(0.0, 0.0, 1.0, 0.5),
+        )
+        image = renderer.render(
+            [
+                DrawCommand(RenderOperation.STENCIL, rect, ortho()),
+                DrawCommand(
+                    RenderOperation.COLOR, rect, ortho(), color=paint
+                ),
+            ]
+        )
+        xy = model_xy()
+        t = np.clip((xy[..., 0] - 16.0) / 32.0, 0.0, 1.0)
+        inside = (np.abs(xy[..., 0] - 32) <= 24) & (
+            np.abs(xy[..., 1] - 32) <= 24
+        )
+        alpha = 1.0 + (0.5 - 1.0) * t
+        want = np.stack(
+            [
+                (1.0 - t) * alpha,       # red, premultiplied
+                np.zeros_like(t),
+                t * alpha,               # blue, premultiplied
+                alpha,
+            ],
+            axis=-1,
+        ) * inside[..., None]
+        assert np.abs(image - want.mean(axis=2)).max() < 1e-4
+
+    def test_radial_gradient_matches_analytic(self, renderer):
+        from contrast_renderer_tpu.renderer import RadialGradient
+
+        disc = Shape([Path.from_circle((32.0, 32.0), 24.0)])
+        paint = RadialGradient(
+            center=(32.0, 32.0), edge=(52.0, 32.0),
+            color0=(1.0, 1.0, 1.0, 1.0), color1=(0.0, 0.0, 0.0, 1.0),
+        )
+        image = renderer.render(
+            [
+                DrawCommand(RenderOperation.STENCIL, disc, ortho()),
+                DrawCommand(
+                    RenderOperation.COLOR, disc, ortho(), color=paint
+                ),
+            ]
+        )
+        xy = model_xy()
+        rad = np.hypot(xy[..., 0] - 32.0, xy[..., 1] - 32.0)
+        t = np.clip(rad / 20.0, 0.0, 1.0)
+        # Interior (away from the AA edge): luminance = 1 - t.
+        interior = rad < 22.0
+        got = image[..., 0]
+        want = np.mean(np.where(interior, 1.0 - t, 0.0), axis=-1)
+        mask = np.mean(interior.astype(np.float64), axis=-1) == 1.0
+        assert np.abs(np.where(mask, got - want, 0.0)).max() < 1e-4
+        # Center bright, rim dark, monotone in between.
+        assert image[32, 32, 0] > 0.95
+        assert image[32, 50, 0] < 0.15
+
+    def test_frame_program_gradient_tracks_camera(self, renderer):
+        """The gradient endpoints ride the per-frame transform stack:
+        translating the draw moves the gradient with it."""
+        from contrast_renderer_tpu.renderer import LinearGradient
+
+        rect = Shape([Path.from_rect((32, 32), (16, 16))])
+        paint = LinearGradient(
+            start=(16.0, 32.0), end=(48.0, 32.0),
+            color0=(1.0, 0.0, 0.0, 1.0), color1=(0.0, 1.0, 0.0, 1.0),
+        )
+        commands = [
+            DrawCommand(RenderOperation.STENCIL, rect, ortho()),
+            DrawCommand(RenderOperation.COLOR, rect, ortho(), color=paint),
+        ]
+        program = renderer.compile_frame(commands)
+        base = np.asarray(program())
+        assert np.allclose(base, renderer.render(commands), atol=1e-6)
+        shifted = np.asarray(
+            program(np.stack([translate(8, 0)] * 2))
+        )
+        # The paint moved with the shape: the shifted image equals the
+        # base image translated 8px right (interior rows).
+        assert np.allclose(
+            shifted[:, 8:], base[:, :-8], atol=1e-5
+        )
