@@ -35,3 +35,25 @@ from .error import (  # noqa: F401
     TooManyDashIntervals,
     TooManyNestedOpacityGroups,
 )
+
+# Renderer surface (imported lazily by submodule elsewhere; re-exported
+# here for discoverability — jax loads on first renderer use, not at
+# package import).
+
+
+def __getattr__(name):
+    _renderer_names = {
+        "BlendComponent", "BlendState", "Configuration", "DrawCommand",
+        "FrameProgram", "LinearGradient", "RadialGradient",
+        "RenderOperation", "Renderer", "Shape",
+    }
+    _app_names = {"Application", "FrameLoop", "PngSink", "CollectSink"}
+    if name in _renderer_names:
+        from . import renderer
+
+        return getattr(renderer, name)
+    if name in _app_names:
+        from . import app
+
+        return getattr(app, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
