@@ -82,6 +82,10 @@ OP_RESTORE_ALPHA = 6
 #: one fused full-screen pass costs half the per-sample traffic of two.
 OP_SAVE_SCALE = 7
 
+#: Gradient stop budget (cmd_f row: MAX_STOPS RGBA colors + MAX_STOPS
+#: offsets; see renderer.MAX_GRADIENT_STOPS).
+MAX_STOPS = 4
+
 #: Standard MSAA sample positions (x, y) within a pixel, y-down.
 SAMPLE_PATTERNS = {
     1: np.array([[0.5, 0.5]], np.float32),
@@ -1631,10 +1635,38 @@ def make_rasterize(spec: FrameSpec):
                                 jnp.where(pk == 1, t_lin, 0.0),
                             )
                             t = jnp.clip(t, 0.0, 1.0)
-                            pr = cr + (cmd_f[d, 4] - cr) * t
-                            pg = cg + (cmd_f[d, 5] - cg) * t
-                            pb = cb + (cmd_f[d, 6] - cb) * t
-                            pa = ca + (cmd_f[d, 7] - ca) * t
+                            # Piecewise-linear multi-stop ramp:
+                            # c(t) = c0 + Σᵢ (cᵢ₊₁−cᵢ)·clip((t−oᵢ)/Δoᵢ)
+                            # — each term ramps in over its own segment
+                            # (degenerate Δo → hard stop via the eps).
+                            fs = []
+                            for i in range(MAX_STOPS - 1):
+                                o_lo = cmd_f[d, 16 + i]
+                                o_hi = cmd_f[d, 17 + i]
+                                fs.append(
+                                    jnp.clip(
+                                        (t - o_lo)
+                                        / jnp.maximum(
+                                            o_hi - o_lo,
+                                            jnp.float32(1e-6),
+                                        ),
+                                        0.0,
+                                        1.0,
+                                    )
+                                )
+
+                            def ramp(ch):
+                                out = cmd_f[d, ch]
+                                for i in range(MAX_STOPS - 1):
+                                    out = out + (
+                                        cmd_f[d, 4 * (i + 1) + ch]
+                                        - cmd_f[d, 4 * i + ch]
+                                    ) * fs[i]
+                                return out
+
+                            pr, pg, pb, pa = (
+                                ramp(0), ramp(1), ramp(2), ramp(3)
+                            )
                             src = (pr * pa, pg * pa, pb * pa, pa)
                             sa = pa  # per-sample src alpha for factors
                         else:

@@ -120,44 +120,88 @@ class BlendState:
         )
 
 
+#: Gradient stop budget per paint (compiled into the kernel's unrolled
+#: piecewise interpolation; richer ramps compose from multiple covers).
+MAX_GRADIENT_STOPS = 4
+
+
+def _normalize_stops(color0, color1, stops):
+    """(offsets (4,), colors (4, 4)) from either the 2-color shorthand
+    or an explicit ``stops`` sequence of (offset, rgba)."""
+    if stops is None:
+        stops = ((0.0, color0), (1.0, color1))
+    if not 2 <= len(stops) <= MAX_GRADIENT_STOPS:
+        raise ValueError(
+            f"gradients take 2..{MAX_GRADIENT_STOPS} stops, got {len(stops)}"
+        )
+    offsets = np.asarray([s[0] for s in stops], np.float32)
+    if np.any(np.diff(offsets) < 0.0):
+        raise ValueError("gradient stop offsets must be non-decreasing")
+    colors = np.asarray([s[1] for s in stops], np.float32)
+    if colors.shape != (len(stops), 4):
+        raise ValueError("gradient stop colors must be RGBA")
+    pad = MAX_GRADIENT_STOPS - len(stops)
+    offsets = np.concatenate([offsets, np.repeat(offsets[-1:], pad)])
+    colors = np.concatenate([colors, np.repeat(colors[-1:], pad, axis=0)])
+    return offsets, colors
+
+
 @dataclass(frozen=True)
 class LinearGradient:
-    """Two-stop linear gradient paint for COLOR covers (a TPU-native
-    extension: the reference's color cover is solid-only,
-    shaders.wgsl:304-309; custom paints there require user pipelines).
+    """Linear gradient paint for COLOR covers (a TPU-native extension:
+    the reference's color cover is solid-only, shaders.wgsl:304-309;
+    custom paints there require user pipelines).
 
     ``start``/``end`` are model-space points (projected with the draw's
     transform, so the gradient tracks instancing and camera motion);
-    the paint is ``color0`` at/before ``start`` and ``color1``
+    the paint ramps from ``color0`` at/before ``start`` to ``color1``
     at/after ``end``, interpolated per MSAA sample and then
-    premultiplied.  Pass as ``DrawCommand(color=LinearGradient(...))``.
-    Multi-stop gradients compose from multiple covers."""
+    premultiplied.  ``stops`` (a sequence of up to
+    ``MAX_GRADIENT_STOPS`` ``(offset, rgba)`` pairs along the axis,
+    offsets non-decreasing in [0, 1]) replaces the 2-color shorthand
+    for multi-stop ramps.  Pass as
+    ``DrawCommand(color=LinearGradient(...))``."""
 
     start: Tuple[float, float]
     end: Tuple[float, float]
-    color0: Tuple[float, float, float, float]
-    color1: Tuple[float, float, float, float]
+    color0: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 1.0)
+    color1: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0)
+    stops: object = None
     kind = 1
+
+    def __post_init__(self):
+        self.stop_table()  # validate stop count/order at construction
 
     def points(self):
         return np.asarray([self.start, self.end], np.float32)
 
+    def stop_table(self):
+        return _normalize_stops(self.color0, self.color1, self.stops)
+
 
 @dataclass(frozen=True)
 class RadialGradient:
-    """Two-stop radial gradient paint: ``color0`` at ``center``,
+    """Radial gradient paint: ``color0`` at ``center`` ramping to
     ``color1`` at/beyond the rim point ``edge`` (model space — the rim
     point, rather than a scalar radius, projects correctly under the
-    draw transform)."""
+    draw transform).  ``stops`` as in :class:`LinearGradient`, offsets
+    measured center→rim."""
 
     center: Tuple[float, float]
     edge: Tuple[float, float]
-    color0: Tuple[float, float, float, float]
-    color1: Tuple[float, float, float, float]
+    color0: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 1.0)
+    color1: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0)
+    stops: object = None
     kind = 2
+
+    def __post_init__(self):
+        self.stop_table()  # validate stop count/order at construction
 
     def points(self):
         return np.asarray([self.center, self.edge], np.float32)
+
+    def stop_table(self):
+        return _normalize_stops(self.color0, self.color1, self.stops)
 
 
 def _paint_kind(color) -> int:
@@ -803,19 +847,19 @@ class Renderer:
             ],
             np.int32,
         )
+        # cmd_f row layout (width 20): columns [0:16] = up to 4 gradient
+        # stop colors (RGBA each; [0:4] doubles as the solid color the
+        # alpha-group ops read), [16:20] = stop offsets.  Solid rows
+        # broadcast their color to all stops (every piecewise delta is
+        # then zero).
         rows = []
         for c in commands:
             if c.operation == RenderOperation.STENCIL:
                 continue
             if _paint_kind(c.color):
-                # Gradient stops: color0 | color1 per draw row.
-                row = np.concatenate(
-                    [
-                        np.asarray(c.color.color0, np.float32),
-                        np.asarray(c.color.color1, np.float32),
-                    ]
-                )[None]
-                rows.append(np.broadcast_to(row, (c.n_instances, 8)))
+                offsets, colors = c.color.stop_table()
+                row = np.concatenate([colors.reshape(-1), offsets])[None]
+                rows.append(np.broadcast_to(row, (c.n_instances, 20)))
                 continue
             color = np.asarray(c.color, np.float32).reshape(-1, 4)
             color = (
@@ -825,13 +869,19 @@ class Renderer:
             )
             rows.append(
                 np.concatenate(
-                    [color, np.zeros((len(color), 4), np.float32)], axis=1
+                    [
+                        np.tile(color, (1, coverage.MAX_STOPS)),
+                        np.zeros(
+                            (len(color), coverage.MAX_STOPS), np.float32
+                        ),
+                    ],
+                    axis=1,
                 )
             )
         cmd_f = (
-            np.ascontiguousarray(np.concatenate(rows))
+            np.ascontiguousarray(np.concatenate(rows), dtype=np.float32)
             if rows
-            else np.zeros((1, 8), np.float32)
+            else np.zeros((1, 20), np.float32)
         )
         return cmd_i, cmd_f
 

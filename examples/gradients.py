@@ -64,8 +64,11 @@ def main():
         LinearGradient(
             start=(cx - 0.42 * width, cy + 0.38 * height),
             end=(cx + 0.42 * width, cy - 0.38 * height),
-            color0=(0.08, 0.12, 0.35, 1.0),
-            color1=(0.55, 0.15, 0.45, 1.0),
+            stops=(
+                (0.0, (0.08, 0.12, 0.35, 1.0)),
+                (0.55, (0.25, 0.10, 0.45, 1.0)),
+                (1.0, (0.62, 0.18, 0.35, 1.0)),
+            ),
         ),
     ) + stencil_color(
         glow,

@@ -400,11 +400,16 @@ class TestFuzzClipAlpha:
             # (linear then radial would need a third scene; alternate).
             if scene_index == 1:
                 pts = rng.uniform(10, SIZE - 10, (2, 2))
-                stops = rng.uniform(0.1, 1.0, (2, 4))
+                n_stops = int(rng.integers(2, 5))
+                offsets = np.sort(rng.uniform(0.0, 1.0, n_stops))
+                stop_colors = rng.uniform(0.1, 1.0, (n_stops, 4))
                 paint_cls = LinearGradient if rng.integers(2) else RadialGradient
                 content_color = paint_cls(
                     tuple(pts[0]), tuple(pts[1]),
-                    tuple(stops[0]), tuple(stops[1]),
+                    stops=tuple(
+                        (float(o), tuple(c))
+                        for o, c in zip(offsets, stop_colors)
+                    ),
                 )
             else:
                 content_color = tuple(colors[1])
@@ -475,8 +480,8 @@ class TestFuzzClipAlpha:
                 if op == RenderOperation.COLOR:
                     mask = in_hull & nonzero & clip_ok
                     if pk:
-                        # Gradient: per-sample two-stop interpolation in
-                        # pixel space (endpoints through the same
+                        # Gradient: per-sample multi-stop interpolation
+                        # in pixel space (endpoints through the same
                         # model→pixel map as the winding positions).
                         pts = m2p(
                             cmd.color.points().astype(np.float64).copy()
@@ -489,9 +494,21 @@ class TestFuzzClipAlpha:
                         else:
                             t = np.sqrt((rel * rel).sum(-1) / den)
                         t = np.clip(t, 0.0, 1.0)[:, None]
-                        c0 = np.asarray(cmd.color.color0, np.float64)
-                        c1 = np.asarray(cmd.color.color1, np.float64)
-                        rgba = c0[None] + (c1 - c0)[None] * t
+                        offs, cols = cmd.color.stop_table()
+                        offs = offs.astype(np.float64)
+                        cols = cols.astype(np.float64)
+                        rgba = np.broadcast_to(
+                            cols[0][None], (len(t), 4)
+                        ).copy()
+                        for si in range(len(offs) - 1):
+                            f = np.clip(
+                                (t[:, 0] - offs[si])
+                                / max(offs[si + 1] - offs[si], 1e-6),
+                                0.0, 1.0,
+                            )
+                            rgba += (cols[si + 1] - cols[si])[None] * (
+                                f[:, None]
+                            )
                         src = np.concatenate(
                             [rgba[:, :3] * rgba[:, 3:4], rgba[:, 3:4]],
                             axis=1,

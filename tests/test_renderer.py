@@ -826,3 +826,49 @@ class TestGradientPaints:
         assert np.allclose(
             shifted[:, 8:], base[:, :-8], atol=1e-5
         )
+
+    def test_multi_stop_linear_gradient(self, renderer):
+        from contrast_renderer_tpu.renderer import LinearGradient
+
+        rect = Shape([Path.from_rect((32, 32), (28, 20))])
+        stops = (
+            (0.0, (1.0, 0.0, 0.0, 1.0)),
+            (0.25, (0.0, 1.0, 0.0, 1.0)),
+            (1.0, (0.0, 0.0, 1.0, 0.6)),
+        )
+        paint = LinearGradient(
+            start=(8.0, 32.0), end=(56.0, 32.0), stops=stops
+        )
+        image = renderer.render(
+            [
+                DrawCommand(RenderOperation.STENCIL, rect, ortho()),
+                DrawCommand(
+                    RenderOperation.COLOR, rect, ortho(), color=paint
+                ),
+            ]
+        )
+        xy = model_xy()
+        t = np.clip((xy[..., 0] - 8.0) / 48.0, 0.0, 1.0)
+        offs = np.array([0.0, 0.25, 1.0, 1.0])
+        cols = np.array([s[1] for s in stops] + [stops[-1][1]])
+        rgba = np.broadcast_to(cols[0], t.shape + (4,)).copy()
+        for i in range(3):
+            f = np.clip(
+                (t - offs[i]) / max(offs[i + 1] - offs[i], 1e-6), 0, 1
+            )
+            rgba = rgba + (cols[i + 1] - cols[i]) * f[..., None]
+        inside = (np.abs(xy[..., 0] - 32) <= 28) & (
+            np.abs(xy[..., 1] - 32) <= 20
+        )
+        want = np.concatenate(
+            [rgba[..., :3] * rgba[..., 3:4], rgba[..., 3:4]], axis=-1
+        ) * inside[..., None]
+        assert np.abs(image - want.mean(axis=2)).max() < 1e-4
+        # Too many stops raise.
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            LinearGradient(
+                (0, 0), (1, 1),
+                stops=tuple((i / 4, (0, 0, 0, 1)) for i in range(5)),
+            )
