@@ -110,6 +110,11 @@ def main():
             shape, width, height, **kwargs
         )[:9 if clip_alpha else 4]
 
+    # BENCH_SEQ=N (with BENCH_ORBIT=1): render N frames per dispatch
+    # through FrameProgram.render_sequence (lax.scan) — the batch
+    # animation mode; per-frame dispatch overhead amortizes across N.
+    seq = int(os.environ.get("BENCH_SEQ", "0")) if orbit else 0
+    frames_per_call = max(1, seq)
     if orbit:
         import math
 
@@ -121,21 +126,34 @@ def main():
         # "camera is just a matrix" economics.
         program = renderer.compile_frame(commands)
 
-        def frame(t, acc):
+        def orbit_transforms(t):
             angle = 0.05 * t
             rotor = np.array(
                 [math.cos(angle / 2), 0.0, math.sin(angle / 2), 0.0]
             )
-            transforms = showcase.command_transforms(
+            return showcase.command_transforms(
                 width, height, clip_alpha=clip_alpha,
                 instanced=instanced, view_rotation=rotor,
             )
-            shape.set_dynamic_stroke_options(
-                0, showcase.dashed_options(t * 2.0)
-            )
-            # The per-frame completion probe rides the frame dispatch
-            # (program carry) — one launch per frame.
-            return program(transforms, carry=acc)
+
+        if seq:
+            import jax.numpy as _jnp
+
+            def frame(t, acc):
+                stacks = np.stack(
+                    [orbit_transforms(t + 0.016 * i) for i in range(seq)]
+                )
+                frames = program.render_sequence(stacks, as_uint8=False)
+                return frames[-1], acc + _jnp.sum(frames[..., 3])
+        else:
+            def frame(t, acc):
+                transforms = orbit_transforms(t)
+                shape.set_dynamic_stroke_options(
+                    0, showcase.dashed_options(t * 2.0)
+                )
+                # The per-frame completion probe rides the frame
+                # dispatch (program carry) — one launch per frame.
+                return program(transforms, carry=acc)
     else:
         def frame(t, acc):
             shape.set_dynamic_stroke_options(
@@ -167,7 +185,9 @@ def main():
     image, acc = probed_frame(0.0, jnp.float32(0.0))
     _, acc = probed_frame(0.016, acc)
     float(acc)  # compile frame + probe
-    frames = 32 if on_accelerator else 2
+    frames = (
+        max(1, 32 // frames_per_call) if on_accelerator else 2
+    )
     batches = 3 if on_accelerator else 1
     # Best sustained batch: remote-TPU links show occasional one-off
     # multi-hundred-ms stalls unrelated to the frame program; the best
@@ -183,7 +203,7 @@ def main():
         checksum = float(acc)  # forces every frame in the chain
         elapsed = time.perf_counter() - start
         assert np.isfinite(checksum)
-        fps = max(fps, frames / elapsed)
+        fps = max(fps, frames * frames_per_call / elapsed)
     image, _ = probed_frame(0.0, jnp.float32(0.0))
 
     start = time.perf_counter()
@@ -194,6 +214,7 @@ def main():
     label = (
         f"showcase_fps_{width}x{height}"
         + ("_orbit" if orbit else "")
+        + (f"_seq{seq}" if seq else "")
         + ("_clipalpha" if clip_alpha else "")
         + ("_instanced" if instanced else "")
         + ("" if with_text else "_notext")

@@ -14,6 +14,8 @@ run BENCH_ORBIT=1 python bench.py
 run BENCH_INSTANCED=1 python bench.py
 run BENCH_SIZE=3840x2160 python bench.py
 run BENCH_SIZE=3840x2160 BENCH_ORBIT=1 python bench.py
+run BENCH_ORBIT=1 BENCH_SEQ=8 python bench.py
+run BENCH_SIZE=3840x2160 BENCH_ORBIT=1 BENCH_SEQ=8 python bench.py
 run BENCH_SIZE=3840x2160 BENCH_INSTANCED=1 python bench.py
 run BENCH_SIZE=3840x2160 BENCH_CLIP=1 python bench.py
 run BENCH_SIZE=3840x2160 BENCH_CLIP=1 BENCH_INSTANCED=1 python bench.py

@@ -872,3 +872,34 @@ class TestGradientPaints:
                 (0, 0), (1, 1),
                 stops=tuple((i / 4, (0, 0, 0, 1)) for i in range(5)),
             )
+
+
+class TestRenderSequence:
+    def test_sequence_matches_per_frame(self, renderer):
+        """render_sequence (one dispatch, lax.scan over frames) produces
+        the same pixels as per-frame FrameProgram calls."""
+        shape = Shape([Path.from_rect((20, 32), (10, 10))])
+        commands = stencil_color(shape, ortho(), (1.0, 0.2, 0.1, 1.0))
+        program = renderer.compile_frame(commands)
+        stacks = np.stack(
+            [
+                np.stack([translate(dx, 0)] * 2)
+                for dx in (0.0, 8.0, 20.0)
+            ]
+        )
+        frames = np.asarray(program.render_sequence(stacks))
+        assert frames.shape == (3, SIZE, SIZE, 4)
+        assert frames.dtype == np.uint8
+        for i in range(3):
+            want = np.asarray(
+                Renderer._quantize(program(stacks[i]))
+            )
+            assert np.array_equal(frames[i], want), i
+        # Float output mode too.
+        frames_f = np.asarray(
+            program.render_sequence(stacks, as_uint8=False)
+        )
+        assert frames_f.dtype == np.float32
+        assert np.allclose(
+            frames_f[2], np.asarray(program(stacks[2])), atol=1e-6
+        )
