@@ -17,47 +17,21 @@ completes; set BENCH_SIZE=WxH to override.
 
 import json
 import os
-import subprocess
-import sys
 import time
-
-
-def _accelerator_reachable(timeout_s: float = 150.0) -> bool:
-    """Probe backend init in a subprocess.  Under the axon relay a dead
-    TPU tunnel makes `jax.devices()` block forever in a claim-retry
-    loop (no timeout); a hung bench is worse than an honestly-labeled
-    CPU number, so probe first and fall back."""
-    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
-        return False
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=timeout_s,
-            stdout=subprocess.DEVNULL,
-            stderr=subprocess.DEVNULL,
-        )
-        return proc.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
 
 
 def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_bench")
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-    device_fallback = None
-    if not _accelerator_reachable():
-        if os.environ.get("JAX_PLATFORMS", "") != "cpu":
-            device_fallback = (
-                "accelerator backend unreachable (tunnel down?); "
-                "CPU fallback at reduced size"
-            )
-        os.environ["JAX_PLATFORMS"] = "cpu"
-    import jax
+    from contrast_renderer_tpu.utils.backend import ensure_live_backend
 
-    if os.environ["JAX_PLATFORMS"] == "cpu":
-        # The env var alone is not enough when a site hook already
-        # imported jax (its config snapshots JAX_PLATFORMS at import).
-        jax.config.update("jax_platforms", "cpu")
+    device_fallback = (
+        "accelerator backend unreachable (tunnel down?); "
+        "CPU fallback at reduced size"
+        if ensure_live_backend(warn_label="bench")
+        else None
+    )
+    import jax
     import numpy as np
 
     from contrast_renderer_tpu.models import showcase

@@ -193,11 +193,16 @@ class FrameLoop:
 
     def run_realtime(self, duration_s: float, fps_cap: float = 60.0) -> None:
         """Wall-clock loop: render as fast as the device allows up to
-        ``fps_cap``, for ``duration_s`` seconds (the interactive mode)."""
+        ``fps_cap``, for ``duration_s`` seconds (the interactive mode).
+        Animation time advances by real elapsed wall time; the cap is
+        enforced by sleeping out the remainder of each frame slot."""
         end = time.perf_counter() + float(duration_s)
         min_dt = 1.0 / float(fps_cap)
         last = time.perf_counter()
         while time.perf_counter() < end:
             now = time.perf_counter()
-            self.step(max(min_dt, now - last))
+            self.step(now - last)
             last = now
+            leftover = min_dt - (time.perf_counter() - now)
+            if leftover > 0:
+                time.sleep(leftover)

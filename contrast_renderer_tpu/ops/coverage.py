@@ -1612,84 +1612,105 @@ def make_rasterize(spec: FrameSpec):
                         mask = in_hull & nonzero
                         if clip_ok is not None:
                             mask = mask & clip_ok
-                        if has_paint:
-                            # Gradient paints (TPU-native extension):
-                            # interpolate the two stops per sample along
-                            # the projected endpoints, then premultiply.
-                            pk = cmd_i[c, 3]
-                            pax = paint_xy[d, 0]
-                            pay = paint_xy[d, 1]
-                            pdx = paint_xy[d, 2] - pax
-                            pdy = paint_xy[d, 3] - pay
-                            pden = jnp.maximum(
-                                pdx * pdx + pdy * pdy, jnp.float32(1e-12)
-                            )
-                            rel_x = px - pax
-                            rel_y = py - pay
-                            t_lin = (rel_x * pdx + rel_y * pdy) / pden
-                            t_rad = jnp.sqrt(
-                                (rel_x * rel_x + rel_y * rel_y) / pden
-                            )
-                            t = jnp.where(
-                                pk == 2, t_rad,
-                                jnp.where(pk == 1, t_lin, 0.0),
-                            )
-                            t = jnp.clip(t, 0.0, 1.0)
-                            # Piecewise-linear multi-stop ramp:
-                            # c(t) = c0 + Σᵢ (cᵢ₊₁−cᵢ)·clip((t−oᵢ)/Δoᵢ)
-                            # — each term ramps in over its own segment
-                            # (degenerate Δo → hard stop via the eps).
-                            fs = []
-                            for i in range(MAX_STOPS - 1):
-                                o_lo = cmd_f[d, 16 + i]
-                                o_hi = cmd_f[d, 17 + i]
-                                fs.append(
-                                    jnp.clip(
-                                        (t - o_lo)
-                                        / jnp.maximum(
-                                            o_hi - o_lo,
-                                            jnp.float32(1e-6),
-                                        ),
-                                        0.0,
-                                        1.0,
-                                    )
+
+                        def blend(src, sa):
+                            # Generic wgpu blend state (renderer.rs:381),
+                            # emitted statically per spec — the named
+                            # modes (over, front-to-back, additive) fold
+                            # to the same arithmetic their hand-written
+                            # forms had.  Destination alpha is sampled
+                            # before any channel updates (dst_alpha
+                            # factors must see the pre-draw value).
+                            da = colorb[3]
+                            for chan in range(4):
+                                comp = (
+                                    blend_alpha if chan == 3
+                                    else blend_color
                                 )
+                                colorb[chan] = jnp.where(
+                                    mask,
+                                    _blend_channel(
+                                        comp, src[chan], colorb[chan],
+                                        sa, da,
+                                    ),
+                                    colorb[chan],
+                                )
+                            wind[...] = jnp.where(mask, 0, wind[...])
 
-                            def ramp(ch):
-                                out = cmd_f[d, ch]
-                                for i in range(MAX_STOPS - 1):
-                                    out = out + (
-                                        cmd_f[d, 4 * (i + 1) + ch]
-                                        - cmd_f[d, 4 * i + ch]
-                                    ) * fs[i]
-                                return out
-
-                            pr, pg, pb, pa = (
-                                ramp(0), ramp(1), ramp(2), ramp(3)
-                            )
-                            src = (pr * pa, pg * pa, pb * pa, pa)
-                            sa = pa  # per-sample src alpha for factors
+                        if not has_paint:
+                            blend((cr * ca, cg * ca, cb * ca, ca), ca)
                         else:
-                            src = (cr * ca, cg * ca, cb * ca, ca)
-                            sa = ca
-                        # Generic wgpu blend state (renderer.rs:381),
-                        # emitted statically per spec — the named modes
-                        # (over, front-to-back, additive) fold to the
-                        # same arithmetic their hand-written forms had.
-                        # Destination alpha is sampled before any
-                        # channel updates (dst_alpha factors must see
-                        # the pre-draw value).
-                        da = colorb[3]
-                        for chan in range(4):
-                            comp = blend_alpha if chan == 3 else blend_color
-                            colorb[chan] = jnp.where(
-                                mask,
-                                _blend_channel(
-                                    comp, src[chan], colorb[chan], sa, da
-                                ),
-                                colorb[chan],
-                            )
-                        wind[...] = jnp.where(mask, 0, wind[...])
+                            # Solid covers keep the cheap scalar-source
+                            # path even in frames that carry gradients.
+                            pk = cmd_i[c, 3]
+
+                            @pl.when(pk == 0)
+                            def _solid_cover():
+                                blend((cr * ca, cg * ca, cb * ca, ca), ca)
+
+                            @pl.when(pk != 0)
+                            def _gradient_cover():
+                                # Gradient paints (TPU-native extension):
+                                # per-sample t along the projected
+                                # endpoints, multi-stop ramp, then
+                                # premultiply.
+                                pax = paint_xy[d, 0]
+                                pay = paint_xy[d, 1]
+                                pdx = paint_xy[d, 2] - pax
+                                pdy = paint_xy[d, 3] - pay
+                                pden = jnp.maximum(
+                                    pdx * pdx + pdy * pdy,
+                                    jnp.float32(1e-12),
+                                )
+                                rel_x = px - pax
+                                rel_y = py - pay
+                                t_lin = (
+                                    rel_x * pdx + rel_y * pdy
+                                ) / pden
+                                t_rad = jnp.sqrt(
+                                    (rel_x * rel_x + rel_y * rel_y)
+                                    / pden
+                                )
+                                t = jnp.clip(
+                                    jnp.where(pk == 2, t_rad, t_lin),
+                                    0.0, 1.0,
+                                )
+                                # Piecewise-linear multi-stop ramp:
+                                # c(t) = c0 + Σᵢ (cᵢ₊₁−cᵢ)·
+                                #        clip((t−oᵢ)/Δoᵢ) — each term
+                                # ramps in over its own segment
+                                # (degenerate Δo → hard stop via eps).
+                                fs = []
+                                for i in range(MAX_STOPS - 1):
+                                    o_lo = cmd_f[d, 16 + i]
+                                    o_hi = cmd_f[d, 17 + i]
+                                    fs.append(
+                                        jnp.clip(
+                                            (t - o_lo)
+                                            / jnp.maximum(
+                                                o_hi - o_lo,
+                                                jnp.float32(1e-6),
+                                            ),
+                                            0.0,
+                                            1.0,
+                                        )
+                                    )
+
+                                def ramp(ch):
+                                    out = cmd_f[d, ch]
+                                    for i in range(MAX_STOPS - 1):
+                                        out = out + (
+                                            cmd_f[d, 4 * (i + 1) + ch]
+                                            - cmd_f[d, 4 * i + ch]
+                                        ) * fs[i]
+                                    return out
+
+                                pr, pg, pb, pa = (
+                                    ramp(0), ramp(1), ramp(2), ramp(3)
+                                )
+                                blend(
+                                    (pr * pa, pg * pa, pb * pa, pa), pa
+                                )
 
                     if has_clip:
                         @pl.when(op == OP_CLIP)

@@ -523,6 +523,12 @@ def _optimize_commands(commands):
                 c.shape is s.shape
                 and c.clip_depth == s.clip_depth
                 and c.alpha_layer == s.alpha_layer
+                # Single-instance only: with N overlapping instance
+                # covers, the unfused sequence snapshots ALL pre-scale
+                # alpha before any scaling, but the fused op would
+                # interleave save/scale per instance.
+                and c.n_instances == 1
+                and s.n_instances == 1
                 and np.array_equal(
                     np.asarray(c.transform, np.float32),
                     np.asarray(s.transform, np.float32),
@@ -1229,34 +1235,12 @@ class FrameProgram:
     #: under-populated frames while growing.
     OVERFLOW_MAX_LAG = 16
 
-    def __call__(self, transforms=None, carry=None):
-        """Render one frame; returns the device-resident (H, W, 4)
-        image.  `transforms`: an (R, 4, 4) row-major model→clip stack
-        with one row per (command, instance) draw — R equals the sum of
-        the commands' instance counts (defaults to the commands' stored
-        transforms).
-
-        `carry`: optional scalar; when given, returns ``(image, carry +
-        sum(image[..., 3]))`` computed in the same dispatch — a
-        per-frame completion probe with no extra program launch (a
-        throughput harness chains it and fetches once at the end).
-        """
+    def _sync(self):
+        """Per-call maintenance shared by __call__ and render_sequence:
+        consume landed overflow counters (lag-bounded, non-blocking
+        while the async copies are in flight) and refresh the scene
+        after geometry edits; either may rebuild the program."""
         renderer = self._renderer
-        if transforms is None:
-            transforms = Renderer._pack_transforms(self._opt_commands)
-        else:
-            transforms = np.ascontiguousarray(
-                transforms, np.float32
-            ).reshape(-1, 4, 4)
-            if self._keep_rows is not None:
-                # Drop the rows of fused-away SAVE covers so the stack
-                # matches the optimized draw layout.
-                transforms = transforms[self._keep_rows]
-        require_finite(transforms, "frame transforms")
-        self._frame += 1
-
-        # Consume landed overflow counters (lag-bounded, non-blocking
-        # while the async copies are in flight).
         grew = False
         keep = []
         limits = (
@@ -1288,6 +1272,32 @@ class FrameProgram:
         else:
             self._scene = scene
 
+    def __call__(self, transforms=None, carry=None):
+        """Render one frame; returns the device-resident (H, W, 4)
+        image.  `transforms`: an (R, 4, 4) row-major model→clip stack
+        with one row per (command, instance) draw — R equals the sum of
+        the commands' instance counts (defaults to the commands' stored
+        transforms).
+
+        `carry`: optional scalar; when given, returns ``(image, carry +
+        sum(image[..., 3]))`` computed in the same dispatch — a
+        per-frame completion probe with no extra program launch (a
+        throughput harness chains it and fetches once at the end).
+        """
+        renderer = self._renderer
+        if transforms is None:
+            transforms = Renderer._pack_transforms(self._opt_commands)
+        else:
+            transforms = np.ascontiguousarray(
+                transforms, np.float32
+            ).reshape(-1, 4, 4)
+            if self._keep_rows is not None:
+                # Drop the rows of fused-away SAVE covers so the stack
+                # matches the optimized draw layout.
+                transforms = transforms[self._keep_rows]
+        require_finite(transforms, "frame transforms")
+        self._frame += 1
+        self._sync()
         desc_f, desc_i = Renderer._pack_descriptors(self._shapes)
         desc_static = np.ascontiguousarray(desc_i[:, [9, 8]])
         args = (
@@ -1343,6 +1353,7 @@ class FrameProgram:
             transforms = transforms[:, self._keep_rows]
         require_finite(transforms, "sequence transforms")
         self._frame += len(transforms)
+        self._sync()
         desc_f, desc_i = Renderer._pack_descriptors(self._shapes)
         desc_static = np.ascontiguousarray(desc_i[:, [9, 8]])
         frames, overflow = self._step_sequence(

@@ -25,38 +25,15 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 
-def _force_cpu_if_accelerator_unreachable(timeout_s: float = 150.0):
-    """A globally-set accelerator platform (JAX_PLATFORMS=axon) wins
-    over the setdefault above, so a plain pytest run executes on the
-    real TPU.  That's desirable — but under the axon relay a dead TPU
-    tunnel blocks backend init *forever*, turning the whole suite into
-    a hang.  Probe init in a subprocess and fall back to CPU (the
-    config update is required: the env var is snapshotted when a site
-    hook imports jax at interpreter start)."""
-    import subprocess
-    import sys
+# A globally-set accelerator platform (JAX_PLATFORMS=axon) wins over
+# the setdefault above, so a plain pytest run executes on the real TPU.
+# That's desirable — but a dead TPU tunnel blocks backend init forever,
+# turning the whole suite into a hang; probe and fall back to CPU.
+import sys
 
-    if os.environ.get("JAX_PLATFORMS", "cpu") == "cpu":
-        return
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=timeout_s,
-            stdout=subprocess.DEVNULL,
-            stderr=subprocess.DEVNULL,
-        )
-        if proc.returncode == 0:
-            return
-    except subprocess.TimeoutExpired:
-        pass
-    sys.stderr.write(
-        "conftest: accelerator backend unreachable (tunnel down?); "
-        "running the suite on CPU\n"
-    )
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    import jax
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from contrast_renderer_tpu.utils.backend import (  # noqa: E402
+    ensure_live_backend,
+)
 
-    jax.config.update("jax_platforms", "cpu")
-
-
-_force_cpu_if_accelerator_unreachable()
+ensure_live_backend(warn_label="conftest")

@@ -903,3 +903,24 @@ class TestRenderSequence:
         assert np.allclose(
             frames_f[2], np.asarray(program(stacks[2])), atol=1e-6
         )
+
+    def test_instanced_pairs_do_not_fuse(self):
+        """Instanced SAVE+SCALE stays unfused: with overlapping
+        instance covers the unfused sequence snapshots ALL pre-scale
+        alpha before any scaling; fusing would interleave per instance."""
+        from contrast_renderer_tpu.renderer import _optimize_commands
+
+        cover = Shape([Path.from_rect((32, 32), (32, 32))])
+        stacked = np.stack([ortho(), translate(4, 0)])
+        commands = [
+            DrawCommand(
+                RenderOperation.SAVE_ALPHA_CONTEXT, cover, stacked,
+                alpha_layer=0,
+            ),
+            DrawCommand(
+                RenderOperation.SCALE_ALPHA_CONTEXT, cover, stacked,
+                color=(0, 0, 0, 0.5),
+            ),
+        ]
+        opt, keep = _optimize_commands(commands)
+        assert len(opt) == 2 and keep is None
