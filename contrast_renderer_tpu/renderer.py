@@ -945,6 +945,7 @@ class Renderer:
         background=None,
         to_host: bool = True,
         as_uint8: bool = False,
+        srgb: bool = False,
         carry=None,
     ):
         """Render a frame; returns (H, W, 4) premultiplied RGBA float32
@@ -1082,7 +1083,16 @@ class Renderer:
             )
         image = rasterize(*runtime_args)
         if as_uint8:
-            if background is not None:
+            if srgb:
+                # Rendering/blending stay linear (the reference
+                # pipeline); sRGB-encode only at presentation
+                # (utils.rs:204-225).
+                if background is not None:
+                    image = self._composite(
+                        image, jnp.asarray(background, jnp.float32)
+                    )
+                image = self._quantize_srgb(image)
+            elif background is not None:
                 image = self._composite_quantize(
                     image, jnp.asarray(background, jnp.float32)
                 )
@@ -1109,10 +1119,32 @@ class Renderer:
 
     @staticmethod
     @jax.jit
+    def _composite(image, background):
+        return image + background * (1.0 - image[..., 3:4])
+
+    @staticmethod
+    @jax.jit
     def _composite_quantize(image, background):
         alpha = image[..., 3:4]
         image = image + background * (1.0 - alpha)
         return (jnp.clip(image, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+
+    @staticmethod
+    @jax.jit
+    def _quantize_srgb(image):
+        """uint8 with sRGB-encoded RGB (alpha stays linear) — for
+        presenting to sRGB surfaces / image files (the reference's
+        utils.rs:204-225 conversion, applied device-side; rendering and
+        blending stay linear, matching the reference pipeline)."""
+        image = jnp.clip(image, 0.0, 1.0)
+        rgb = image[..., :3]
+        rgb = jnp.where(
+            rgb > 0.0031308,
+            1.055 * rgb ** jnp.float32(1.0 / 2.4) - 0.055,
+            12.92 * rgb,
+        )
+        image = jnp.concatenate([rgb, image[..., 3:]], axis=-1)
+        return (image * 255.0 + 0.5).astype(jnp.uint8)
 
 
 class FrameProgram:

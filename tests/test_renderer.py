@@ -924,3 +924,27 @@ class TestRenderSequence:
         ]
         opt, keep = _optimize_commands(commands)
         assert len(opt) == 2 and keep is None
+
+
+class TestSrgbOutput:
+    def test_srgb_quantization_matches_host_conversion(self, renderer):
+        from contrast_renderer_tpu.utils.color import linear_to_srgb
+
+        shape = Shape([Path.from_rect((32, 32), (20, 20))])
+        commands = stencil_color(shape, ortho(), (0.2, 0.5, 0.8, 1.0))
+        linear = renderer.render(commands)
+        device = renderer.render(
+            commands, as_uint8=True, srgb=True,
+            background=(1.0, 1.0, 1.0, 1.0),
+        )
+        composited = linear + np.array([1, 1, 1, 1.0]) * (
+            1.0 - linear[..., 3:4]
+        )
+        want = linear_to_srgb(np.clip(composited, 0, 1))
+        want = (np.clip(want, 0, 1) * 255.0 + 0.5).astype(np.uint8)
+        assert np.abs(
+            device.astype(np.int32) - want.astype(np.int32)
+        ).max() <= 1  # f32 vs f64 pow rounding
+        # sRGB encoding brightens mid-tones: the red channel (0.2
+        # linear) quantizes well above its linear byte value.
+        assert device[32, 32, 0] > int(0.2 * 255) + 30
