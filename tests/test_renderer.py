@@ -801,6 +801,35 @@ class TestGradientPaints:
         assert image[32, 32, 0] > 0.95
         assert image[32, 50, 0] < 0.15
 
+    def test_instanced_gradient_per_instance(self, renderer):
+        """One instanced command with a gradient paint: each instance's
+        endpoints project through its own transform, so every copy
+        carries its own gradient."""
+        from contrast_renderer_tpu.renderer import LinearGradient
+
+        rect = Shape([Path.from_rect((16, 16), (10, 10))])
+        paint = LinearGradient(
+            start=(6.0, 16.0), end=(26.0, 16.0),
+            color0=(1.0, 0.0, 0.0, 1.0), color1=(0.0, 0.0, 1.0, 1.0),
+        )
+        stacked = np.stack([ortho(), translate(32, 32)])
+        image = renderer.render(
+            [
+                DrawCommand(RenderOperation.STENCIL, rect, stacked),
+                DrawCommand(
+                    RenderOperation.COLOR, rect, stacked, color=paint
+                ),
+            ]
+        )
+        # Instance 1 at (16, 16) model = row 48 px; instance 2 at
+        # (48, 48) model = row 16 px. Left edge red, right edge blue,
+        # in BOTH copies.
+        for row, col0, col1 in ((48, 8, 24), (16, 40, 56)):
+            assert image[row, col0, 0] > 0.85, (row, col0)
+            assert image[row, col0, 2] < 0.15
+            assert image[row, col1, 2] > 0.85, (row, col1)
+            assert image[row, col1, 0] < 0.15
+
     def test_frame_program_gradient_tracks_camera(self, renderer):
         """The gradient endpoints ride the per-frame transform stack:
         translating the draw moves the gradient with it."""
