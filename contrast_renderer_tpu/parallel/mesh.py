@@ -142,6 +142,91 @@ def render_sharded(renderer, commands, mesh: Mesh, axis: str = "y"):
     return _run_with_growth(sub, commands, run_once)
 
 
+class ShardedFrameProgram:
+    """A persistent band-sharded frame step: the shard_map pipeline is
+    traced and jitted ONCE, then each frame feeds a new (C, 4, 4)
+    transform stack — the multi-chip analogue of renderer.FrameProgram
+    (per-frame `render_sharded` re-traces the mapped pipeline every
+    call, which dominates under camera animation).
+
+    Binning capacities are settled strictly at build time; scenes that
+    outgrow them afterwards raise (rebuild the program), keeping the
+    hot path recompile-free.
+    """
+
+    def __init__(self, renderer, commands, mesh: Mesh, axis: str = "y"):
+        num_bands = mesh.shape[axis]
+        assert renderer.height % num_bands == 0, (
+            "height must divide the mesh axis"
+        )
+        band_height = renderer.height // num_bands
+        platform = mesh.devices.reshape(-1)[0].platform
+        self._sub = _sub_renderer(
+            renderer, renderer.width, band_height, platform
+        )
+        self._mesh = mesh
+        self._axis = axis
+        self._num_bands = num_bands
+        # Settle capacities with the build-time transforms (the same
+        # strict contract FrameProgram uses).
+        render_sharded(renderer, commands, mesh, axis)
+        self._sub._global_capacity = renderer._global_capacity
+        self._sub._tile_global_capacity = renderer._tile_global_capacity
+        self._sub._clip_pool = renderer._clip_pool
+        packed = _packed_pipeline(self._sub, commands)
+        (scene_arrays, prepare, rasterize, cmd_i, cmd_f, desc_f, desc_i,
+         desc_static, transform, paint_model) = packed
+        self._default_transform = transform
+        self._limits = None  # filled below
+
+        def per_band(band_index, transforms):
+            adjusted = band_adjusted_transform(
+                transforms, band_index[0], num_bands
+            )
+            prepared = prepare(
+                *scene_arrays, adjusted, jnp.asarray(desc_static),
+                None if paint_model is None else jnp.asarray(paint_model),
+            )
+            image = rasterize(prepared, cmd_i, cmd_f, desc_f, desc_i)
+            return image, prepared.overflow[None]
+
+        from jax.sharding import PartitionSpec as P_
+
+        self._bands = jnp.arange(num_bands, dtype=jnp.int32)
+        self._mapped = jax.jit(
+            jax.shard_map(
+                per_band,
+                mesh=mesh,
+                in_specs=(P_(axis), None),
+                out_specs=(P_(axis, None, None), P_(axis, None)),
+                check_vma=False,
+            )
+        )
+        self._limits = (
+            self._sub.tile_capacity,
+            self._sub._global_capacity,
+            self._sub._tile_global_capacity,
+            self._sub._clip_pool,
+        )
+
+    def __call__(self, transforms=None):
+        """Render one frame; returns the band-sharded (H, W, 4) device
+        array.  ``transforms``: (C, 4, 4), one row per command (the
+        sharded pipeline's single-instance layout)."""
+        if transforms is None:
+            transforms = self._default_transform
+        transforms = jnp.asarray(np.asarray(transforms, np.float32))
+        image, overflow = self._mapped(self._bands, transforms)
+        worst = np.asarray(overflow).reshape(-1, 4).max(axis=0)
+        if np.any(worst > np.asarray(self._limits)):
+            raise RuntimeError(
+                "scene outgrew the program's binning capacities "
+                f"({list(worst)} > {list(self._limits)}); rebuild the "
+                "ShardedFrameProgram"
+            )
+        return image
+
+
 def render_sharded_2d(
     renderer, commands, mesh: Mesh, axes: tuple = ("y", "x")
 ):

@@ -161,6 +161,43 @@ class TestMultiChip:
         mismatch = np.mean(np.abs(sharded - single))
         assert mismatch < 1e-4, mismatch
 
+    def test_sharded_frame_program_matches_render_sharded(self, shape):
+        """The persistent sharded frame step (traced once, transforms
+        as runtime input) renders the same pixels as the per-call
+        sharded pipeline under camera motion."""
+        import jax
+        from jax.sharding import Mesh
+
+        from contrast_renderer_tpu.parallel import (
+            ShardedFrameProgram,
+            render_sharded,
+        )
+
+        cpu_devices = jax.devices("cpu")
+        n = min(4, len(cpu_devices))
+        width, height = 64, 64
+        mesh = Mesh(np.array(cpu_devices[:n]), ("y",))
+        commands = showcase.showcase_commands(shape, width, height)[:4]
+        renderer = Renderer(Configuration(), width, height, tile_size=16)
+        program = ShardedFrameProgram(renderer, commands, mesh)
+        for angle in (0.0, 0.2):
+            rotor = np.array(
+                [np.cos(angle / 2), 0.0, np.sin(angle / 2), 0.0]
+            )
+            moved = showcase.command_transforms(
+                width, height, view_rotation=rotor
+            )[:4]
+            got = np.asarray(program(moved))
+            for c, t in zip(commands, moved):
+                c.transform = t
+            want = render_sharded(
+                Renderer(Configuration(), width, height, tile_size=16),
+                commands, mesh,
+            )
+            assert np.allclose(got, want, atol=1e-6), (
+                np.abs(got - want).max()
+            )
+
     def test_band_sharded_clip_alpha_matches_single(self, shape):
         """Nested clips + a transparency group through the sharded
         pipeline: the fused SAVE+SCALE cover (OP_SAVE_SCALE) and the
