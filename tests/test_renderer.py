@@ -801,6 +801,42 @@ class TestGradientPaints:
         assert image[32, 32, 0] > 0.95
         assert image[32, 50, 0] < 0.15
 
+    def test_gradient_on_stroke(self, renderer):
+        """Gradients apply to stroked shapes through the same COLOR
+        cover (stroke coverage is winding like fills)."""
+        from contrast_renderer_tpu.path import (
+            Cap,
+            Join,
+            LineSegment,
+            StrokeOptions,
+        )
+        from contrast_renderer_tpu.renderer import LinearGradient
+
+        p = Path(start=(8, 32), stroke_options=StrokeOptions(width=8.0))
+        p.push_line(LineSegment([(56, 32)]))
+        shape = Shape(
+            [p],
+            [DynamicStrokeOptions.make_solid(Join.MITER, Cap.BUTT, Cap.BUTT)],
+        )
+        paint = LinearGradient(
+            start=(8.0, 32.0), end=(56.0, 32.0),
+            color0=(1.0, 0.0, 0.0, 1.0), color1=(0.0, 0.0, 1.0, 1.0),
+        )
+        image = renderer.render(
+            [
+                DrawCommand(RenderOperation.STENCIL, shape, ortho()),
+                DrawCommand(
+                    RenderOperation.COLOR, shape, ortho(), color=paint
+                ),
+            ]
+        )
+        # Left of the stroke: red; right: blue; middle: the mix.
+        assert image[32, 10, 0] > 0.9 and image[32, 10, 2] < 0.1
+        assert image[32, 54, 2] > 0.9 and image[32, 54, 0] < 0.1
+        assert abs(image[32, 32, 0] - 0.5) < 0.05
+        # Above the stroke band: nothing.
+        assert image[20, 32, 3] == 0.0
+
     def test_instanced_gradient_per_instance(self, renderer):
         """One instanced command with a gradient paint: each instance's
         endpoints project through its own transform, so every copy
