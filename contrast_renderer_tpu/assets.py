@@ -1,5 +1,5 @@
 """Bundled assets (the equivalent of the reference's vendored example
-font, /root/reference/examples/fonts/).
+font, reference examples/fonts/).
 
 The repo bundles OpenSans-Regular.ttf (Apache-2.0, license alongside) so
 text rendering, benchmarks, and tests are self-contained; the
@@ -10,9 +10,9 @@ from __future__ import annotations
 
 import os
 
-_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DEFAULT_FONT_PATH = os.path.join(
-    _REPO_ROOT, "assets", "fonts", "OpenSans-Regular.ttf"
+    os.path.dirname(os.path.abspath(__file__)),
+    "data", "fonts", "OpenSans-Regular.ttf",
 )
 
 
