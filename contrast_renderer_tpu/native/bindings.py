@@ -22,21 +22,45 @@ _lib = None
 _build_failed = False
 
 
-def _build():
-    subprocess.run(
-        [
-            "g++",
-            "-O3",
-            "-march=native",
-            "-shared",
-            "-fPIC",
-            "-o",
-            _LIB_PATH,
-            _SRC,
-        ],
-        check=True,
-        capture_output=True,
+def _cache_lib_path():
+    # Site-packages may be read-only (system installs); a per-user
+    # cache directory is the fallback build target.
+    return os.path.join(
+        os.environ.get(
+            "XDG_CACHE_HOME",
+            os.path.join(os.path.expanduser("~"), ".cache"),
+        ),
+        "contrast_renderer_tpu",
+        "_geometry.so",
     )
+
+
+def _build():
+    global _LIB_PATH
+    targets = [_LIB_PATH, _cache_lib_path()]
+    last_error = None
+    for target in targets:
+        try:
+            os.makedirs(os.path.dirname(target), exist_ok=True)
+            subprocess.run(
+                [
+                    "g++",
+                    "-O3",
+                    "-march=native",
+                    "-shared",
+                    "-fPIC",
+                    "-o",
+                    target,
+                    _SRC,
+                ],
+                check=True,
+                capture_output=True,
+            )
+            _LIB_PATH = target
+            return
+        except (OSError, subprocess.CalledProcessError) as error:
+            last_error = error
+    raise last_error
 
 
 def _load():
@@ -47,9 +71,14 @@ def _load():
         if _lib is not None or _build_failed:
             return _lib
         try:
-            if not os.path.exists(_LIB_PATH) or os.path.getmtime(
-                _LIB_PATH
-            ) < os.path.getmtime(_SRC):
+            global _LIB_PATH
+            for candidate in (_LIB_PATH, _cache_lib_path()):
+                if os.path.exists(candidate) and os.path.getmtime(
+                    candidate
+                ) >= os.path.getmtime(_SRC):
+                    _LIB_PATH = candidate
+                    break
+            else:
                 _build()
             lib = ctypes.CDLL(_LIB_PATH)
         except Exception:
