@@ -9,6 +9,7 @@ projection; no collectives beyond the output layout.
 
 from .mesh import (  # noqa: F401
     ShardedFrameProgram,
+    ShardedFrameProgram2D,
     band_adjusted_transform,
     rect_adjusted_transform,
     render_sharded,

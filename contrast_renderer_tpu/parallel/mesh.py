@@ -227,6 +227,76 @@ class ShardedFrameProgram:
         return image
 
 
+class ShardedFrameProgram2D:
+    """2D tile-grid variant of :class:`ShardedFrameProgram` (rows over
+    ``axes[0]``, columns over ``axes[1]``)."""
+
+    def __init__(
+        self, renderer, commands, mesh: Mesh, axes: tuple = ("y", "x")
+    ):
+        ay, ax = axes
+        ny, nx = mesh.shape[ay], mesh.shape[ax]
+        assert renderer.height % ny == 0 and renderer.width % nx == 0
+        platform = mesh.devices.reshape(-1)[0].platform
+        self._sub = _sub_renderer(
+            renderer, renderer.width // nx, renderer.height // ny, platform
+        )
+        render_sharded_2d(renderer, commands, mesh, axes)
+        self._sub._global_capacity = renderer._global_capacity
+        self._sub._tile_global_capacity = renderer._tile_global_capacity
+        self._sub._clip_pool = renderer._clip_pool
+        (scene_arrays, prepare, rasterize, cmd_i, cmd_f, desc_f, desc_i,
+         desc_static, transform, paint_model) = _packed_pipeline(
+            self._sub, commands
+        )
+        self._default_transform = transform
+
+        def per_rect(by, bx, transforms):
+            adjusted = rect_adjusted_transform(
+                transforms, by[0], ny, bx[0], nx
+            )
+            prepared = prepare(
+                *scene_arrays, adjusted, jnp.asarray(desc_static),
+                None if paint_model is None else jnp.asarray(paint_model),
+            )
+            image = rasterize(prepared, cmd_i, cmd_f, desc_f, desc_i)
+            return image, prepared.overflow[None, None]
+
+        from jax.sharding import PartitionSpec as P_
+
+        self._bys = jnp.arange(ny, dtype=jnp.int32)
+        self._bxs = jnp.arange(nx, dtype=jnp.int32)
+        self._mapped = jax.jit(
+            jax.shard_map(
+                per_rect,
+                mesh=mesh,
+                in_specs=(P_(ay), P_(ax), None),
+                out_specs=(P_(ay, ax, None), P_(ay, ax, None)),
+                check_vma=False,
+            )
+        )
+        self._limits = (
+            self._sub.tile_capacity,
+            self._sub._global_capacity,
+            self._sub._tile_global_capacity,
+            self._sub._clip_pool,
+        )
+
+    def __call__(self, transforms=None):
+        if transforms is None:
+            transforms = self._default_transform
+        transforms = jnp.asarray(np.asarray(transforms, np.float32))
+        image, overflow = self._mapped(self._bys, self._bxs, transforms)
+        worst = np.asarray(overflow).reshape(-1, 4).max(axis=0)
+        if np.any(worst > np.asarray(self._limits)):
+            raise RuntimeError(
+                "scene outgrew the program's binning capacities "
+                f"({list(worst)} > {list(self._limits)}); rebuild the "
+                "ShardedFrameProgram2D"
+            )
+        return image
+
+
 def render_sharded_2d(
     renderer, commands, mesh: Mesh, axes: tuple = ("y", "x")
 ):

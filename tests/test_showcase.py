@@ -198,6 +198,29 @@ class TestMultiChip:
                 np.abs(got - want).max()
             )
 
+    def test_sharded_frame_program_2d_matches(self, shape):
+        import jax
+        from jax.sharding import Mesh
+
+        from contrast_renderer_tpu.parallel import (
+            ShardedFrameProgram2D,
+            render_sharded_2d,
+        )
+
+        cpu_devices = jax.devices("cpu")
+        assert len(cpu_devices) >= 4
+        mesh = Mesh(np.array(cpu_devices[:4]).reshape(2, 2), ("y", "x"))
+        width, height = 256, 64
+        commands = showcase.showcase_commands(shape, width, height)[:4]
+        renderer = Renderer(Configuration(), width, height, tile_size=16)
+        program = ShardedFrameProgram2D(renderer, commands, mesh)
+        got = np.asarray(program())
+        want = render_sharded_2d(
+            Renderer(Configuration(), width, height, tile_size=16),
+            commands, mesh,
+        )
+        assert np.allclose(got, want, atol=1e-6)
+
     def test_band_sharded_clip_alpha_matches_single(self, shape):
         """Nested clips + a transparency group through the sharded
         pipeline: the fused SAVE+SCALE cover (OP_SAVE_SCALE) and the
