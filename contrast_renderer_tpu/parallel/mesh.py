@@ -62,146 +62,201 @@ def _sub_renderer(renderer, width, height, platform):
     sub._global_capacity = renderer._global_capacity
     sub._tile_global_capacity = renderer._tile_global_capacity
     sub._clip_pool = renderer._clip_pool
+    sub.blend_constant = renderer.blend_constant
     return sub
 
 
 def _packed_pipeline(sub, commands):
+    """Pack `commands` for the per-device executor.
+
+    Returns ``(packed, keep_rows)`` where ``packed`` feeds the mapped
+    pipeline and ``keep_rows`` re-indexes caller-supplied transform
+    stacks from the public one-row-per-(command, instance) layout into
+    the optimized draw layout (SAVE+SCALE pairs fuse away one row each,
+    renderer._optimize_commands) — identical to FrameProgram's contract.
+    """
     from ..renderer import Renderer, _optimize_commands, _paint_kind
 
     sub._validate(commands)
-    commands, _ = _optimize_commands(commands)
+    commands, keep_rows = _optimize_commands(commands)
     shapes, shape_index = sub._unique_shapes(commands)
     _, scene = sub._scene_arrays(shapes)
     ops = tuple(int(c.operation) for c in commands)
     cmd_shape = tuple(shape_index[id(c.shape)] for c in commands)
+    inst = tuple(c.n_instances for c in commands)
+    cmd_inst = inst if any(n != 1 for n in inst) else ()
     paints = tuple(_paint_kind(c.color) for c in commands)
-    spec = sub._spec(ops, cmd_shape, (), scene, paints)
+    spec = sub._spec(ops, cmd_shape, cmd_inst, scene, paints)
     prepare, rasterize = sub._get_executors(spec)
-    cmd_i, cmd_f = Renderer._pack_commands_runtime(commands)
+    cmd_i, cmd_f = Renderer._pack_commands_runtime(
+        commands, sub._blend_constant_arg()
+    )
     desc_f, desc_i = Renderer._pack_descriptors(shapes)
     desc_static = np.ascontiguousarray(desc_i[:, [9, 8]])
-    transform = np.stack(
-        [np.asarray(c.transform, np.float32) for c in commands]
-    )
-    return (scene.arrays, prepare, rasterize, cmd_i, cmd_f, desc_f, desc_i,
-            desc_static, transform, Renderer._pack_paints(commands))
+    transform = Renderer._pack_transforms(commands)
+    packed = (scene.arrays, prepare, rasterize, cmd_i, cmd_f, desc_f,
+              desc_i, desc_static, transform,
+              Renderer._pack_paints(commands))
+    return packed, keep_rows
 
 
-def _run_with_growth(sub, commands, run_once):
-    """Run a sharded frame, growing binning capacities on overflow (the
-    same contract as Renderer.render's retry loop)."""
-    for _attempt in range(4):
-        packed = _packed_pipeline(sub, commands)
-        image, overflow = run_once(*packed)
-        limits = (
-            sub.tile_capacity,
-            sub._global_capacity,
-            sub._tile_global_capacity,
-            sub._clip_pool,
+def _band_mapped(mesh, axis, num_bands, packed):
+    """shard_map'd per-band frame step; returns (mapped, band indices).
+    ``mapped(bands, transforms)`` → (band-sharded image, overflow)."""
+    (scene_arrays, prepare, rasterize, cmd_i, cmd_f, desc_f, desc_i,
+     desc_static, _transform, paint_model) = packed
+
+    def per_band(band_index, transforms):
+        adjusted = band_adjusted_transform(
+            transforms, band_index[0], num_bands
         )
-        worst = np.asarray(overflow).reshape(-1, 4).max(axis=0)
-        if not sub._grow_capacities(worst, limits):
-            return np.asarray(image)
-    raise RuntimeError("sharded tile binning capacity did not converge")
+        prepared = prepare(
+            *scene_arrays, adjusted, jnp.asarray(desc_static),
+            None if paint_model is None else jnp.asarray(paint_model),
+        )
+        image = rasterize(prepared, cmd_i, cmd_f, desc_f, desc_i)
+        return image, prepared.overflow[None]
+
+    mapped = jax.shard_map(
+        per_band,
+        mesh=mesh,
+        in_specs=(P(axis), None),
+        out_specs=(P(axis, None, None), P(axis, None)),
+        check_vma=False,
+    )
+    return mapped, jnp.arange(num_bands, dtype=jnp.int32)
+
+
+def _rect_mapped(mesh, axes, ny, nx, packed):
+    """shard_map'd per-rect frame step over a 2D tile grid; returns
+    (mapped, row indices, column indices)."""
+    ay, ax = axes
+    (scene_arrays, prepare, rasterize, cmd_i, cmd_f, desc_f, desc_i,
+     desc_static, _transform, paint_model) = packed
+
+    def per_rect(by, bx, transforms):
+        adjusted = rect_adjusted_transform(
+            transforms, by[0], ny, bx[0], nx
+        )
+        prepared = prepare(
+            *scene_arrays, adjusted, jnp.asarray(desc_static),
+            None if paint_model is None else jnp.asarray(paint_model),
+        )
+        image = rasterize(prepared, cmd_i, cmd_f, desc_f, desc_i)
+        return image, prepared.overflow[None, None]
+
+    mapped = jax.shard_map(
+        per_rect,
+        mesh=mesh,
+        in_specs=(P(ay), P(ax), None),
+        out_specs=(P(ay, ax, None), P(ay, ax, None)),
+        check_vma=False,
+    )
+    return (mapped, jnp.arange(ny, dtype=jnp.int32),
+            jnp.arange(nx, dtype=jnp.int32))
+
+
+def _run_with_growth(sub, commands, run_once, outer=None):
+    """Run a sharded frame, growing binning capacities on overflow (the
+    same contract as Renderer.render's retry loop).  ``run_once`` takes
+    the packed pipeline and returns (image, overflow).  Grown
+    capacities are written back to ``outer`` (the caller's full-frame
+    renderer) so later builds — e.g. a ShardedFrameProgram settling
+    capacities — see the converged values, not the pre-growth ones."""
+    try:
+        for _attempt in range(4):
+            packed, _keep_rows = _packed_pipeline(sub, commands)
+            image, overflow = run_once(packed)
+            limits = (
+                sub.tile_capacity,
+                sub._global_capacity,
+                sub._tile_global_capacity,
+                sub._clip_pool,
+            )
+            worst = np.asarray(overflow).reshape(-1, 4).max(axis=0)
+            if not sub._grow_capacities(worst, limits):
+                return np.asarray(image)
+        raise RuntimeError("sharded tile binning capacity did not converge")
+    finally:
+        if outer is not None:
+            outer.tile_capacity = max(outer.tile_capacity,
+                                      sub.tile_capacity)
+            outer._global_capacity = max(outer._global_capacity,
+                                         sub._global_capacity)
+            outer._tile_global_capacity = max(outer._tile_global_capacity,
+                                              sub._tile_global_capacity)
+            outer._clip_pool = max(outer._clip_pool, sub._clip_pool)
 
 
 def render_sharded(renderer, commands, mesh: Mesh, axis: str = "y"):
     """Render a frame with rows sharded over `mesh`'s `axis`
     (1D row bands).  `renderer` is sized to the FULL frame; its height
     must be divisible by the mesh axis size.  Returns the full
-    (H, W, 4) image (gathered to host)."""
+    (H, W, 4) image (gathered to host).  Binning capacities grown
+    during the run are written back to `renderer`."""
     num_bands = mesh.shape[axis]
     assert renderer.height % num_bands == 0, "height must divide the mesh axis"
     band_height = renderer.height // num_bands
     platform = mesh.devices.reshape(-1)[0].platform
     sub = _sub_renderer(renderer, renderer.width, band_height, platform)
 
-    def run_once(scene_arrays, prepare, rasterize, cmd_i, cmd_f,
-                 desc_f, desc_i, desc_static, transform, paint_model):
-        def per_band(band_index, transforms):
-            adjusted = band_adjusted_transform(
-                transforms, band_index[0], num_bands
-            )
-            prepared = prepare(
-                *scene_arrays, adjusted, jnp.asarray(desc_static),
-                None if paint_model is None else jnp.asarray(paint_model),
-            )
-            image = rasterize(prepared, cmd_i, cmd_f, desc_f, desc_i)
-            return image, prepared.overflow[None]
+    def run_once(packed):
+        mapped, bands = _band_mapped(mesh, axis, num_bands, packed)
+        return mapped(bands, jnp.asarray(packed[8]))
 
-        bands = jnp.arange(num_bands, dtype=jnp.int32)
-        mapped = jax.shard_map(
-            per_band,
-            mesh=mesh,
-            in_specs=(P(axis), None),
-            out_specs=(P(axis, None, None), P(axis, None)),
-            check_vma=False,
-        )
-        return mapped(bands, jnp.asarray(transform))
-
-    return _run_with_growth(sub, commands, run_once)
+    return _run_with_growth(sub, commands, run_once, outer=renderer)
 
 
-class ShardedFrameProgram:
-    """A persistent band-sharded frame step: the shard_map pipeline is
-    traced and jitted ONCE, then each frame feeds a new (C, 4, 4)
-    transform stack — the multi-chip analogue of renderer.FrameProgram
-    (per-frame `render_sharded` re-traces the mapped pipeline every
-    call, which dominates under camera animation).
+def render_sharded_2d(
+    renderer, commands, mesh: Mesh, axes: tuple = ("y", "x")
+):
+    """Render a frame sharded over a 2D device mesh: rows over
+    ``axes[0]``, columns over ``axes[1]`` — the tile-grid layout that
+    keeps every collective on ICI neighbors.  Returns the full
+    (H, W, 4) image.  Grown capacities are written back to `renderer`."""
+    ay, ax = axes
+    ny = mesh.shape[ay]
+    nx = mesh.shape[ax]
+    assert renderer.height % ny == 0 and renderer.width % nx == 0
+    platform = mesh.devices.reshape(-1)[0].platform
+    sub = _sub_renderer(renderer, renderer.width // nx,
+                        renderer.height // ny, platform)
 
-    Binning capacities are settled strictly at build time; scenes that
-    outgrow them afterwards raise (rebuild the program), keeping the
-    hot path recompile-free.
-    """
+    def run_once(packed):
+        mapped, bys, bxs = _rect_mapped(mesh, axes, ny, nx, packed)
+        return mapped(bys, bxs, jnp.asarray(packed[8]))
 
-    def __init__(self, renderer, commands, mesh: Mesh, axis: str = "y"):
-        num_bands = mesh.shape[axis]
-        assert renderer.height % num_bands == 0, (
-            "height must divide the mesh axis"
-        )
-        band_height = renderer.height // num_bands
-        platform = mesh.devices.reshape(-1)[0].platform
-        self._sub = _sub_renderer(
-            renderer, renderer.width, band_height, platform
-        )
-        self._mesh = mesh
-        self._axis = axis
-        self._num_bands = num_bands
-        # Settle capacities with the build-time transforms (the same
-        # strict contract FrameProgram uses).
-        render_sharded(renderer, commands, mesh, axis)
-        self._sub._global_capacity = renderer._global_capacity
-        self._sub._tile_global_capacity = renderer._tile_global_capacity
-        self._sub._clip_pool = renderer._clip_pool
-        packed = _packed_pipeline(self._sub, commands)
-        (scene_arrays, prepare, rasterize, cmd_i, cmd_f, desc_f, desc_i,
-         desc_static, transform, paint_model) = packed
-        self._default_transform = transform
-        self._limits = None  # filled below
+    return _run_with_growth(sub, commands, run_once, outer=renderer)
 
-        def per_band(band_index, transforms):
-            adjusted = band_adjusted_transform(
-                transforms, band_index[0], num_bands
-            )
-            prepared = prepare(
-                *scene_arrays, adjusted, jnp.asarray(desc_static),
-                None if paint_model is None else jnp.asarray(paint_model),
-            )
-            image = rasterize(prepared, cmd_i, cmd_f, desc_f, desc_i)
-            return image, prepared.overflow[None]
 
-        from jax.sharding import PartitionSpec as P_
+class _ShardedProgramBase:
+    """Shared machinery of the persistent sharded frame programs:
+    build-time capacity settling on the program's OWN sub-renderer,
+    caller-transform gathering through keep_rows, and FrameProgram's
+    deferred-growth contract (async overflow copies consumed
+    lag-bounded; on overflow the program self-heals by rebuilding with
+    grown capacities instead of raising — an animated multi-chip scene
+    that outgrows its binning buffers renders at most OVERFLOW_MAX_LAG
+    under-populated frames, then recompiles)."""
 
-        self._bands = jnp.arange(num_bands, dtype=jnp.int32)
-        self._mapped = jax.jit(
-            jax.shard_map(
-                per_band,
-                mesh=mesh,
-                in_specs=(P_(axis), None),
-                out_specs=(P_(axis, None, None), P_(axis, None)),
-                check_vma=False,
-            )
-        )
+    #: Frames an unconsumed overflow counter may age before the host
+    #: blocks on it (see renderer.FrameProgram.OVERFLOW_MAX_LAG).
+    OVERFLOW_MAX_LAG = 16
+
+    def _settle_and_build(self):
+        # Strict growth loop on self._sub: grown capacities must land on
+        # the renderer _build reads, or a scene that overflows the
+        # defaults could never converge (the r2 advisor finding: growing
+        # a throwaway sub-renderer discards the growth).
+        _run_with_growth(self._sub, self._commands, self._run_once)
+        self._pending = []
+        self._frame = 0
+        self._build()
+
+    def _build(self):
+        packed, self._keep_rows = _packed_pipeline(self._sub, self._commands)
+        self._default_transform = packed[8]
+        self._compile(packed)
         self._limits = (
             self._sub.tile_capacity,
             self._sub._global_capacity,
@@ -209,25 +264,93 @@ class ShardedFrameProgram:
             self._sub._clip_pool,
         )
 
+    def _sync(self):
+        """Consume landed overflow counters (non-blocking while async
+        copies are in flight, forced after OVERFLOW_MAX_LAG frames) and
+        rebuild with grown capacities when any overflowed."""
+        grew = False
+        keep = []
+        for overflow_arr, born in self._pending:
+            ready = getattr(overflow_arr, "is_ready", lambda: True)()
+            if ready or self._frame - born >= self.OVERFLOW_MAX_LAG:
+                worst = np.asarray(overflow_arr).reshape(-1, 4).max(axis=0)
+                grew |= self._sub._grow_capacities(worst, self._limits)
+            else:
+                keep.append((overflow_arr, born))
+        self._pending = keep
+        if grew:
+            self._build()
+
     def __call__(self, transforms=None):
-        """Render one frame; returns the band-sharded (H, W, 4) device
-        array.  ``transforms``: (C, 4, 4), one row per command (the
-        sharded pipeline's single-instance layout)."""
+        """Render one frame; returns the sharded (H, W, 4) device
+        array.  ``transforms``: (R, 4, 4), one row per (command,
+        instance) draw in the ORIGINAL command layout — rows of
+        fused-away SAVE covers are dropped internally, exactly as
+        renderer.FrameProgram does."""
         if transforms is None:
             transforms = self._default_transform
-        transforms = jnp.asarray(np.asarray(transforms, np.float32))
-        image, overflow = self._mapped(self._bands, transforms)
-        worst = np.asarray(overflow).reshape(-1, 4).max(axis=0)
-        if np.any(worst > np.asarray(self._limits)):
-            raise RuntimeError(
-                "scene outgrew the program's binning capacities "
-                f"({list(worst)} > {list(self._limits)}); rebuild the "
-                "ShardedFrameProgram"
+        else:
+            transforms = np.ascontiguousarray(
+                transforms, np.float32
+            ).reshape(-1, 4, 4)
+            if self._keep_rows is not None:
+                transforms = transforms[self._keep_rows]
+        if transforms.shape[0] != self._default_transform.shape[0]:
+            raise ValueError(
+                f"expected {self._default_transform.shape[0]} transform "
+                f"rows (one per command instance, pre-fusion), got "
+                f"{transforms.shape[0]}"
             )
+        self._frame += 1
+        self._sync()
+        image, overflow = self._dispatch(jnp.asarray(transforms))
+        try:
+            overflow.copy_to_host_async()
+        except AttributeError:
+            pass
+        self._pending.append((overflow, self._frame))
         return image
 
 
-class ShardedFrameProgram2D:
+class ShardedFrameProgram(_ShardedProgramBase):
+    """A persistent band-sharded frame step: the shard_map pipeline is
+    traced and jitted ONCE, then each frame feeds a new (R, 4, 4)
+    transform stack — the multi-chip analogue of renderer.FrameProgram
+    (per-frame `render_sharded` re-traces the mapped pipeline every
+    call, which dominates under camera animation)."""
+
+    def __init__(self, renderer, commands, mesh: Mesh, axis: str = "y"):
+        num_bands = mesh.shape[axis]
+        assert renderer.height % num_bands == 0, (
+            "height must divide the mesh axis"
+        )
+        platform = mesh.devices.reshape(-1)[0].platform
+        self._sub = _sub_renderer(
+            renderer, renderer.width, renderer.height // num_bands, platform
+        )
+        self._mesh = mesh
+        self._axis = axis
+        self._num_bands = num_bands
+        self._commands = list(commands)
+        self._settle_and_build()
+
+    def _run_once(self, packed):
+        mapped, bands = _band_mapped(
+            self._mesh, self._axis, self._num_bands, packed
+        )
+        return mapped(bands, jnp.asarray(packed[8]))
+
+    def _compile(self, packed):
+        mapped, self._bands = _band_mapped(
+            self._mesh, self._axis, self._num_bands, packed
+        )
+        self._mapped = jax.jit(mapped)
+
+    def _dispatch(self, transforms):
+        return self._mapped(self._bands, transforms)
+
+
+class ShardedFrameProgram2D(_ShardedProgramBase):
     """2D tile-grid variant of :class:`ShardedFrameProgram` (rows over
     ``axes[0]``, columns over ``axes[1]``)."""
 
@@ -241,100 +364,23 @@ class ShardedFrameProgram2D:
         self._sub = _sub_renderer(
             renderer, renderer.width // nx, renderer.height // ny, platform
         )
-        render_sharded_2d(renderer, commands, mesh, axes)
-        self._sub._global_capacity = renderer._global_capacity
-        self._sub._tile_global_capacity = renderer._tile_global_capacity
-        self._sub._clip_pool = renderer._clip_pool
-        (scene_arrays, prepare, rasterize, cmd_i, cmd_f, desc_f, desc_i,
-         desc_static, transform, paint_model) = _packed_pipeline(
-            self._sub, commands
+        self._mesh = mesh
+        self._axes = axes
+        self._ny, self._nx = ny, nx
+        self._commands = list(commands)
+        self._settle_and_build()
+
+    def _run_once(self, packed):
+        mapped, bys, bxs = _rect_mapped(
+            self._mesh, self._axes, self._ny, self._nx, packed
         )
-        self._default_transform = transform
+        return mapped(bys, bxs, jnp.asarray(packed[8]))
 
-        def per_rect(by, bx, transforms):
-            adjusted = rect_adjusted_transform(
-                transforms, by[0], ny, bx[0], nx
-            )
-            prepared = prepare(
-                *scene_arrays, adjusted, jnp.asarray(desc_static),
-                None if paint_model is None else jnp.asarray(paint_model),
-            )
-            image = rasterize(prepared, cmd_i, cmd_f, desc_f, desc_i)
-            return image, prepared.overflow[None, None]
-
-        from jax.sharding import PartitionSpec as P_
-
-        self._bys = jnp.arange(ny, dtype=jnp.int32)
-        self._bxs = jnp.arange(nx, dtype=jnp.int32)
-        self._mapped = jax.jit(
-            jax.shard_map(
-                per_rect,
-                mesh=mesh,
-                in_specs=(P_(ay), P_(ax), None),
-                out_specs=(P_(ay, ax, None), P_(ay, ax, None)),
-                check_vma=False,
-            )
+    def _compile(self, packed):
+        mapped, self._bys, self._bxs = _rect_mapped(
+            self._mesh, self._axes, self._ny, self._nx, packed
         )
-        self._limits = (
-            self._sub.tile_capacity,
-            self._sub._global_capacity,
-            self._sub._tile_global_capacity,
-            self._sub._clip_pool,
-        )
+        self._mapped = jax.jit(mapped)
 
-    def __call__(self, transforms=None):
-        if transforms is None:
-            transforms = self._default_transform
-        transforms = jnp.asarray(np.asarray(transforms, np.float32))
-        image, overflow = self._mapped(self._bys, self._bxs, transforms)
-        worst = np.asarray(overflow).reshape(-1, 4).max(axis=0)
-        if np.any(worst > np.asarray(self._limits)):
-            raise RuntimeError(
-                "scene outgrew the program's binning capacities "
-                f"({list(worst)} > {list(self._limits)}); rebuild the "
-                "ShardedFrameProgram2D"
-            )
-        return image
-
-
-def render_sharded_2d(
-    renderer, commands, mesh: Mesh, axes: tuple = ("y", "x")
-):
-    """Render a frame sharded over a 2D device mesh: rows over
-    ``axes[0]``, columns over ``axes[1]`` — the tile-grid layout that
-    keeps every collective on ICI neighbors.  Returns the full
-    (H, W, 4) image."""
-    ay, ax = axes
-    ny = mesh.shape[ay]
-    nx = mesh.shape[ax]
-    assert renderer.height % ny == 0 and renderer.width % nx == 0
-    sub_h = renderer.height // ny
-    sub_w = renderer.width // nx
-    platform = mesh.devices.reshape(-1)[0].platform
-    sub = _sub_renderer(renderer, sub_w, sub_h, platform)
-
-    def run_once(scene_arrays, prepare, rasterize, cmd_i, cmd_f,
-                 desc_f, desc_i, desc_static, transform, paint_model):
-        def per_rect(by, bx, transforms):
-            adjusted = rect_adjusted_transform(
-                transforms, by[0], ny, bx[0], nx
-            )
-            prepared = prepare(
-                *scene_arrays, adjusted, jnp.asarray(desc_static),
-                None if paint_model is None else jnp.asarray(paint_model),
-            )
-            image = rasterize(prepared, cmd_i, cmd_f, desc_f, desc_i)
-            return image, prepared.overflow[None, None]
-
-        bys = jnp.arange(ny, dtype=jnp.int32)
-        bxs = jnp.arange(nx, dtype=jnp.int32)
-        mapped = jax.shard_map(
-            per_rect,
-            mesh=mesh,
-            in_specs=(P(ay), P(ax), None),
-            out_specs=(P(ay, ax, None), P(ay, ax, None)),
-            check_vma=False,
-        )
-        return mapped(bys, bxs, jnp.asarray(transform))
-
-    return _run_with_growth(sub, commands, run_once)
+    def _dispatch(self, transforms):
+        return self._mapped(self._bys, self._bxs, transforms)

@@ -251,6 +251,134 @@ class TestMultiChip:
         mismatch = np.mean(np.abs(sharded - single))
         assert mismatch < 1e-4, mismatch
 
+    def test_sharded_instanced_matches_single(self, shape):
+        """Instanced DrawCommands (an (N, 4, 4) transform stack on one
+        stencil/color pair) cross the mesh and match the single-chip
+        image (the r2 sharded pipeline hardcoded cmd_inst=())."""
+        import jax
+        from jax.sharding import Mesh
+
+        from contrast_renderer_tpu.parallel import render_sharded
+        from contrast_renderer_tpu.renderer import (
+            DrawCommand,
+            RenderOperation,
+        )
+
+        cpu_devices = jax.devices("cpu")
+        n = min(4, len(cpu_devices))
+        assert n >= 2, "need multiple virtual CPU devices (XLA_FLAGS)"
+        width, height = 64, 64
+        mesh = Mesh(np.array(cpu_devices[:n]), ("y",))
+        transforms, colors = showcase.instance_transforms_and_colors(
+            width, height
+        )
+        t3 = np.ascontiguousarray(transforms[:3], np.float32)
+        c3 = np.ascontiguousarray(colors[:3], np.float32)
+        commands = [
+            DrawCommand(RenderOperation.STENCIL, shape, t3),
+            DrawCommand(RenderOperation.COLOR, shape, t3, color=c3),
+        ]
+        renderer = Renderer(Configuration(), width, height, tile_size=16)
+        sharded = render_sharded(renderer, commands, mesh)
+        with jax.default_device(cpu_devices[0]):
+            single = Renderer(
+                Configuration(), width, height, tile_size=16, interpret=True
+            ).render(commands)
+        mismatch = np.mean(np.abs(sharded - single))
+        assert mismatch < 1e-4, mismatch
+
+    def test_sharded_program_gathers_original_transform_layout(self, shape):
+        """ShardedFrameProgram accepts transform stacks in the public
+        one-row-per-command layout even when SAVE+SCALE fusion drops a
+        command: rows of fused-away SAVE covers are gathered out via
+        keep_rows (the r2 advisor's silent-misalignment finding)."""
+        import jax
+        from jax.sharding import Mesh
+
+        from contrast_renderer_tpu.parallel import ShardedFrameProgram
+
+        cpu_devices = jax.devices("cpu")
+        n = min(4, len(cpu_devices))
+        assert n >= 2
+        width, height = 64, 64
+        mesh = Mesh(np.array(cpu_devices[:n]), ("y",))
+        config = Configuration(
+            alpha_layer_count=1, blending="front_to_back"
+        )
+        full = showcase.showcase_commands_clip_alpha(shape, width, height)
+        commands = full[:8] + full[-3:]  # 11 commands, SAVE+SCALE at 4/5
+        renderer = Renderer(config, width, height, tile_size=16)
+        program = ShardedFrameProgram(renderer, commands, mesh)
+        # The program's internal (optimized) layout has one row fewer.
+        assert program._keep_rows is not None
+        assert program._default_transform.shape[0] == len(commands) - 1
+        # One row per ORIGINAL command — exactly the commands' stored
+        # transforms — must render identically to the default path.
+        stack = np.stack(
+            [np.asarray(c.transform, np.float32) for c in commands]
+        )
+        got = np.asarray(program(stack))
+        want = np.asarray(program())
+        assert np.allclose(got, want), np.abs(got - want).max()
+        # A stack sized to the optimized layout cannot be gathered.
+        with pytest.raises((ValueError, IndexError)):
+            program(stack[:-1])
+
+    def test_sharded_program_self_heals_on_overflow(self, shape):
+        """A scene that outgrows the program's settled binning
+        capacities triggers a deferred rebuild with grown capacities
+        (FrameProgram's contract) instead of raising."""
+        import jax
+        from jax.sharding import Mesh
+
+        from contrast_renderer_tpu.parallel import ShardedFrameProgram
+
+        cpu_devices = jax.devices("cpu")
+        n = min(4, len(cpu_devices))
+        assert n >= 2
+        width, height = 64, 64
+        mesh = Mesh(np.array(cpu_devices[:n]), ("y",))
+        commands = showcase.showcase_commands(shape, width, height)[:2]
+        renderer = Renderer(Configuration(), width, height, tile_size=16)
+        program = ShardedFrameProgram(renderer, commands, mesh)
+        want = np.asarray(program())
+        # Fault injection: shrink the per-tile capacity below the
+        # scene's real demand (2 entries/tile at this size) and rebuild,
+        # simulating a scene that later outgrows its buffers.
+        program._sub.tile_capacity = 1
+        program._build()
+        assert program._limits[0] == 1
+        program.OVERFLOW_MAX_LAG = 0  # consume counters synchronously
+        # First frame overflows (possibly under-populated); the next
+        # call consumes the counter, grows, and rebuilds.
+        program()
+        healed = np.asarray(program())
+        assert program._sub.tile_capacity > 1, program._sub.tile_capacity
+        assert np.allclose(healed, want, atol=1e-6), (
+            np.abs(healed - want).max()
+        )
+
+    def test_render_sharded_writes_back_grown_capacities(self, shape):
+        """Capacity growth inside render_sharded lands on the caller's
+        renderer, so a ShardedFrameProgram settling capacities converges
+        (the r2 advisor's discarded-growth finding)."""
+        import jax
+        from jax.sharding import Mesh
+
+        from contrast_renderer_tpu.parallel import render_sharded
+
+        cpu_devices = jax.devices("cpu")
+        n = min(4, len(cpu_devices))
+        assert n >= 2
+        width, height = 64, 64
+        mesh = Mesh(np.array(cpu_devices[:n]), ("y",))
+        commands = showcase.showcase_commands(shape, width, height)[:2]
+        renderer = Renderer(
+            Configuration(), width, height, tile_size=16, tile_capacity=1
+        )
+        render_sharded(renderer, commands, mesh)
+        assert renderer.tile_capacity > 1
+
     def test_tile_grid_2d_sharded_matches_single(self, shape):
         import jax
         from jax.sharding import Mesh
