@@ -35,6 +35,13 @@ class DynamicStrokeOptionsIndexOutOfBounds(ContrastError):
     (reference src/error.rs:15)."""
 
 
+class UnsupportedFontFormat(ContrastError):
+    """The font carries no outline table this reader understands (the
+    reference's ttf-parser returns FaceParsingError for malformed faces;
+    this is our analogue for missing/unsupported outline formats —
+    raised instead of failing obscurely deep in table parsing)."""
+
+
 #: Used for floating point comparison (reference src/error.rs:19).
 ERROR_MARGIN = 1e-4
 
