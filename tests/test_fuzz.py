@@ -556,3 +556,533 @@ class TestFuzzClipAlpha:
             err = np.abs(image - want).max()
             assert err < 1e-5, f"scene {scene_index}: max error {err}"
             assert want[..., 3].sum() > 20.0  # non-trivial scene
+
+
+class TestFuzzBlendStates:
+    """Every wgpu blend factor (renderer.BLEND_FACTORS) exercised in a
+    random blend state against an independent numpy compositing oracle
+    (reference: arbitrary wgpu::BlendState, renderer.rs:381; factor
+    semantics per the WebGPU spec)."""
+
+    @staticmethod
+    def _blend_oracle(comp_c, comp_a, const, src, dst, ca):
+        """One blended draw over (n, 4) premultiplied buffers."""
+        da = dst[:, 3].copy()
+        out = np.empty_like(dst)
+        for chan in range(4):
+            sf, op, df = comp_a if chan == 3 else comp_c
+            s, d = src[:, chan], dst[:, chan]
+            if op == "min":
+                out[:, chan] = np.minimum(s, d)
+                continue
+            if op == "max":
+                out[:, chan] = np.maximum(s, d)
+                continue
+
+            def fac(name):
+                if name == "zero":
+                    return 0.0
+                if name == "one":
+                    return 1.0
+                if name == "src_alpha":
+                    return ca
+                if name == "one_minus_src_alpha":
+                    return 1.0 - ca
+                if name == "dst_alpha":
+                    return da
+                if name == "one_minus_dst_alpha":
+                    return 1.0 - da
+                if name == "src_alpha_saturated":
+                    return np.minimum(ca, 1.0 - da) if chan < 3 else 1.0
+                if name == "constant":
+                    return const[chan]
+                return 1.0 - const[chan]  # one_minus_constant
+
+            st, dt = s * fac(sf), d * fac(df)
+            if op == "add":
+                out[:, chan] = st + dt
+            elif op == "subtract":
+                out[:, chan] = st - dt
+            else:
+                out[:, chan] = dt - st  # reverse_subtract
+        return out
+
+    def test_every_factor_matches_oracle(self):
+        from contrast_renderer_tpu.renderer import (
+            BLEND_FACTORS,
+            BlendComponent,
+            BlendState,
+        )
+
+        rng = np.random.default_rng(20260818)
+        positions = oracle.sample_positions(SIZE, SIZE)
+        flat = positions.reshape(-1, 2)
+        n = len(flat)
+        winding_mask = 15
+
+        def m2p(pts):
+            out = pts.copy()
+            out[:, 1] = SIZE - out[:, 1]
+            return out
+
+        ops_pool = ("add", "subtract", "reverse_subtract")
+        for fi, factor in enumerate(BLEND_FACTORS):
+            # The factor under test appears as the src factor of both
+            # components; the rest of the state is random.
+            comp_c = (factor, ops_pool[int(rng.integers(3))],
+                      str(rng.choice(BLEND_FACTORS)))
+            comp_a = (factor, ops_pool[int(rng.integers(3))],
+                      str(rng.choice(BLEND_FACTORS)))
+            state = BlendState(
+                color=BlendComponent(*comp_c), alpha=BlendComponent(*comp_a)
+            )
+            const = tuple(rng.uniform(0.0, 1.0, 4).astype(np.float32))
+            renderer = Renderer(
+                Configuration(blending=state), SIZE, SIZE
+            )
+            renderer.set_blend_constant(const)
+
+            paths, shapes, colors = [], [], []
+            for _ in range(3):
+                cx, cy = rng.uniform(18, SIZE - 18, 2)
+                p = [Path.from_circle((cx, cy), rng.uniform(10, 18))]
+                paths.append(p)
+                shapes.append(Shape(p))
+                colors.append(rng.uniform(0.1, 1.0, 4))
+            commands = []
+            for s, c in zip(shapes, colors):
+                commands += [
+                    DrawCommand(RenderOperation.STENCIL, s, ortho()),
+                    DrawCommand(
+                        RenderOperation.COLOR, s, ortho(), color=tuple(c)
+                    ),
+                ]
+            image = np.asarray(renderer.render(commands))
+
+            # Oracle: ground-truth winding + hull masks + blend algebra.
+            wind = np.zeros(n, np.int64)
+            color = np.zeros((n, 4), np.float64)
+            for s, p, c in zip(shapes, paths, colors):
+                truth = oracle.ground_truth_winding(
+                    p, positions, m2p, 512
+                ).reshape(-1)
+                wind += truth
+                mask = _hull_mask(s, flat) & ((wind & winding_mask) != 0)
+                ca = float(c[3])
+                src = np.broadcast_to(
+                    np.array([c[0] * ca, c[1] * ca, c[2] * ca, ca]), (n, 4)
+                )
+                blended = self._blend_oracle(
+                    (comp_c[0], comp_c[1], comp_c[2]),
+                    (comp_a[0], comp_a[1], comp_a[2]),
+                    const, src, color, ca,
+                )
+                color = np.where(mask[:, None], blended, color)
+                wind = np.where(mask, 0, wind)
+            want = (
+                color.reshape(SIZE, SIZE, 4, 4).mean(axis=2)
+            ).astype(np.float32)
+            err = np.abs(image - want).max()
+            assert err < 1e-5, (
+                f"factor {factor}: state c={comp_c} a={comp_a}, "
+                f"max error {err}"
+            )
+            assert np.abs(want).sum() > 1.0  # non-trivial scene
+
+
+# ---------------------------------------------------------------------------
+# Stroke join / cap / dash fuzzing (beyond the round/round/solid battery
+# above): first-principles numpy region oracles, independent of
+# stroke.py's tessellator and dynamic_stroke.py's predicates.
+# Semantics pinned: joint polygons stroke.rs:53-121, cap shapes
+# shaders.wgsl:165-189, dash pattern algebra shaders.wgsl:205-231.
+# ---------------------------------------------------------------------------
+
+
+def _seg_coords(flat, a, b):
+    """Per-sample (t, s) coordinates along/across segment a->b (pixel
+    space): t in [0, L] inside the span, s signed left-normal offset."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    d = b - a
+    length = np.linalg.norm(d)
+    d = d / length
+    nl = np.array([-d[1], d[0]])
+    rel = flat - a[None]
+    return rel @ d, rel @ nl, length, d, nl
+
+
+def _cap_region(x, y, cap):
+    """Cap shapes in width units: x side in [-0.5, 0.5], y distance
+    beyond the dash/stroke end (reference shaders.wgsl:165-189; SQUARE
+    uses the documented rectangle, see dynamic_stroke.py docstring)."""
+    from contrast_renderer_tpu.path import Cap
+
+    ax = np.abs(x)
+    if cap == Cap.SQUARE:
+        return y <= 0.5
+    if cap == Cap.ROUND:
+        return x * x + y * y < 0.25
+    if cap == Cap.OUT:
+        return 0.5 - y > ax
+    if cap == Cap.IN:
+        return y < ax
+    if cap == Cap.RIGHT:
+        return 0.5 - y > x
+    if cap == Cap.LEFT:
+        return y - 0.5 < x
+    return y < 0.0  # BUTT
+
+
+def _point_in_polygon(flat, poly):
+    """Even-odd crossing test, vectorized over (N, 2) samples."""
+    poly = np.asarray(poly, np.float64)
+    inside = np.zeros(len(flat), bool)
+    j = len(poly) - 1
+    for i in range(len(poly)):
+        xi, yi = poly[i]
+        xj, yj = poly[j]
+        crosses = (yi > flat[:, 1]) != (yj > flat[:, 1])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            x_at = xi + (flat[:, 1] - yi) / (yj - yi) * (xj - xi)
+        inside ^= crosses & (flat[:, 0] < x_at)
+        j = i
+    return inside
+
+
+def _join_polygon(c, d0, d1, w, join, miter_clip):
+    """The joint region at vertex c between directions d0 -> d1
+    (first-principles reconstruction of stroke.rs:53-121's polygon)."""
+    from contrast_renderer_tpu.path import Join
+
+    cross = d0[0] * d1[1] - d0[1] * d1[0]
+    side_sign = 1.0 if cross >= 0.0 else -1.0
+    nl0 = np.array([-d0[1], d0[0]])
+    nl1 = np.array([-d1[1], d1[0]])
+    pe = c - side_sign * nl0 * (w / 2.0)
+    ne = c - side_sign * nl1 * (w / 2.0)
+    if join == Join.BEVEL:
+        return [c, pe, ne]
+    if join == Join.ROUND:
+        return None  # handled as a disc by the caller
+
+    def intersect(p0, t0, p1, t1):
+        # p0 + a t0 = p1 + b t1
+        m = np.array([[t0[0], -t1[0]], [t0[1], -t1[1]]])
+        ab = np.linalg.solve(m, p1 - p0)
+        return p0 + ab[0] * t0
+
+    m_pt = intersect(pe, d0, ne, d1)
+    clip_len = w * miter_clip
+    if np.linalg.norm(m_pt - c) > clip_len:
+        mid = d0 + d1
+        mid = mid / np.linalg.norm(mid)
+        nl_mid = np.array([-mid[1], mid[0]])
+        cv = c - side_sign * nl_mid * clip_len
+        x1 = intersect(pe, d0, cv, mid)
+        x2 = intersect(cv, mid, ne, d1)
+        return [c, pe, x1, x2, ne]
+    return [c, pe, m_pt, ne]
+
+
+def _forgive_by_perturbation(region_fn, flat, radius=0.35):
+    """Samples whose region membership flips under a small positional
+    perturbation sit on a boundary; exempt them from exact comparison
+    (f32 interpolation in the kernel vs f64 oracle geometry)."""
+    base = region_fn(flat)
+    unstable = np.zeros(len(flat), bool)
+    for dx, dy in ((radius, 0), (-radius, 0), (0, radius), (0, -radius),
+                   (radius, radius), (-radius, -radius),
+                   (radius, -radius), (-radius, radius)):
+        unstable |= region_fn(flat + np.array([dx, dy])) != base
+    return base, unstable
+
+
+def _render_stroke_scene(paths, options, size=SIZE):
+    renderer = Renderer(Configuration(), size, size)
+    shape = Shape(paths, options)
+    return np.asarray(
+        renderer.render(
+            [
+                DrawCommand(RenderOperation.STENCIL, shape, ortho()),
+                DrawCommand(
+                    RenderOperation.COLOR, shape, ortho(),
+                    color=(1.0, 1.0, 1.0, 1.0),
+                ),
+            ]
+        )
+    )
+
+
+def _compare_stroke_coverage(image, region_fn, label, min_cover=30.0):
+    positions = oracle.sample_positions(SIZE, SIZE)
+    flat = positions.reshape(-1, 2)
+    # Oracle works in model space: pixel (px, py) -> model (px, SIZE-py).
+    model = flat.copy()
+    model[:, 1] = SIZE - model[:, 1]
+
+    def region_pixel(pts):
+        m = pts.copy()
+        m[:, 1] = SIZE - pts[:, 1]
+        return region_fn(m)
+
+    inside, unstable = _forgive_by_perturbation(region_pixel, flat)
+    want = inside.reshape(SIZE, SIZE, 4).mean(axis=-1)
+    forgiven = unstable.reshape(SIZE, SIZE, 4).any(axis=-1)
+    have = image[..., 3]
+    exact = ~forgiven
+    err = np.abs(have[exact] - want[exact]).max() if exact.any() else 0.0
+    assert err < 1e-6, f"{label}: off-boundary mismatch {err}"
+    assert want.sum() > min_cover, f"{label}: trivial scene"
+
+
+class TestFuzzJoins:
+    """Random open polylines with miter (clipped and unclipped) and
+    bevel joins, solid butt-capped strokes, vs the exact
+    rectangle-union + joint-polygon region."""
+
+    def test_miter_and_bevel_joins_match_polygon_oracle(self):
+        from contrast_renderer_tpu.path import (
+            Cap,
+            DynamicStrokeOptions,
+            Join,
+            StrokeOptions,
+        )
+
+        rng = np.random.default_rng(20260821)
+        for scene_index in range(2):
+            width = float(rng.uniform(4.0, 7.0))
+            # Three paths in one shape: miter, tightly-clipped miter,
+            # bevel — one descriptor group each (one compile per scene).
+            joins = [
+                (Join.MITER, float(rng.uniform(2.0, 4.0))),
+                (Join.MITER, float(rng.uniform(0.55, 0.8))),
+                (Join.BEVEL, 1.0),
+            ]
+            paths = []
+            scene_pts = []
+            options = []
+            for g, (join, clip) in enumerate(joins):
+                # A 4-point polyline with pronounced corners, kept away
+                # from the other paths by column placement.
+                x0 = 8.0 + 16.0 * g
+                pts = [
+                    np.array(
+                        [x0 + rng.uniform(0.0, 6.0),
+                         10.0 + 14.0 * k + rng.uniform(0.0, 6.0)]
+                    )
+                    for k in range(4)
+                ]
+                # Skip near-straight/reflex-degenerate corners.
+                p = Path(start=tuple(pts[0]))
+                for q in pts[1:]:
+                    p.push_line(LineSegment([tuple(q)]))
+                p.stroke_options = StrokeOptions(
+                    width=width,
+                    offset=0.0,
+                    miter_clip=clip,
+                    closed=False,
+                    dynamic_stroke_options_group=g,
+                )
+                paths.append(p)
+                scene_pts.append(pts)
+                options.append(
+                    DynamicStrokeOptions.make_solid(join, Cap.BUTT, Cap.BUTT)
+                )
+            image = _render_stroke_scene(paths, options)
+
+            def region(model_pts):
+                inside = np.zeros(len(model_pts), bool)
+                for (join, clip), pts in zip(joins, scene_pts):
+                    for a, b in zip(pts[:-1], pts[1:]):
+                        t, s, length, _, _ = _seg_coords(model_pts, a, b)
+                        inside |= (
+                            (np.abs(s) <= width / 2.0)
+                            & (t >= 0.0) & (t <= length)
+                        )
+                    for k in range(1, 3):
+                        d0 = pts[k] - pts[k - 1]
+                        d0 = d0 / np.linalg.norm(d0)
+                        d1 = pts[k + 1] - pts[k]
+                        d1 = d1 / np.linalg.norm(d1)
+                        if abs(d0 @ d1 - 1.0) <= 1e-4:
+                            continue
+                        poly = _join_polygon(
+                            pts[k], d0, d1, width, join, clip
+                        )
+                        inside |= _point_in_polygon(model_pts, poly)
+                return inside
+
+            _compare_stroke_coverage(
+                image, region, f"joins scene {scene_index}"
+            )
+
+
+class TestFuzzCaps:
+    """All seven cap styles on random-angle straight strokes vs the
+    rectangle + analytic cap region (shaders.wgsl:165-189)."""
+
+    def test_all_caps_match_region_oracle(self):
+        from contrast_renderer_tpu.path import (
+            Cap,
+            DynamicStrokeOptions,
+            Join,
+            StrokeOptions,
+        )
+
+        rng = np.random.default_rng(20260822)
+        caps = [Cap.SQUARE, Cap.ROUND, Cap.OUT, Cap.IN,
+                Cap.RIGHT, Cap.LEFT, Cap.BUTT]
+        for scene_index in range(2):
+            width = float(rng.uniform(4.0, 6.5))
+            segs = []
+            paths = []
+            options = []
+            for g, cap_pair in enumerate(
+                zip(caps, np.roll(caps, scene_index + 1))
+            ):
+                cy = 6.0 + 8.0 * g
+                a = np.array([10.0 + rng.uniform(0, 4), cy])
+                angle = rng.uniform(-0.25, 0.25)
+                length = rng.uniform(28.0, 40.0)
+                b = a + length * np.array([np.cos(angle), np.sin(angle)])
+                p = Path(start=tuple(a))
+                p.push_line(LineSegment([tuple(b)]))
+                p.stroke_options = StrokeOptions(
+                    width=width, dynamic_stroke_options_group=g
+                )
+                paths.append(p)
+                segs.append((a, b, cap_pair[0], cap_pair[1]))
+                options.append(
+                    DynamicStrokeOptions.make_solid(
+                        Join.MITER,  # irrelevant: single segment
+                        cap_pair[0],
+                        cap_pair[1],
+                    )
+                )
+            image = _render_stroke_scene(paths, options)
+
+            def region(model_pts):
+                inside = np.zeros(len(model_pts), bool)
+                for a, b, start_cap, end_cap in segs:
+                    t, s, length, _, _ = _seg_coords(model_pts, a, b)
+                    x = s / width
+                    body = (
+                        (np.abs(x) <= 0.5) & (t >= 0.0) & (t <= length)
+                    )
+                    in_ext_band = np.abs(x) <= 0.5
+                    start = (
+                        in_ext_band
+                        & (t >= -width / 2.0) & (t < 0.0)
+                        & _cap_region(x, -t / width, start_cap)
+                    )
+                    end = (
+                        in_ext_band
+                        & (t > length) & (t <= length + width / 2.0)
+                        & _cap_region(x, (t - length) / width, end_cap)
+                    )
+                    inside |= body | start | end
+                return inside
+
+            _compare_stroke_coverage(
+                image, region, f"caps scene {scene_index}"
+            )
+
+
+class TestFuzzDash:
+    """Random dash patterns (1-4 intervals, random per-edge caps and
+    phases) on random-angle straight strokes vs the pattern-space
+    modular region (shaders.wgsl:205-231)."""
+
+    def test_random_dash_patterns_match_oracle(self):
+        from contrast_renderer_tpu.path import (
+            Cap,
+            DashInterval,
+            DynamicStrokeOptions,
+            Join,
+            StrokeOptions,
+        )
+
+        rng = np.random.default_rng(20260823)
+        all_caps = [Cap.SQUARE, Cap.ROUND, Cap.OUT, Cap.IN,
+                    Cap.RIGHT, Cap.LEFT, Cap.BUTT]
+        for scene_index in range(2):
+            width = float(rng.uniform(4.0, 6.0))
+            paths, options, segs, descs = [], [], [], []
+            for g in range(3):
+                n_intervals = int(rng.integers(1, 5))
+                pos = 0.0
+                intervals = []
+                for _ in range(n_intervals):
+                    dash_len = float(rng.uniform(0.8, 3.0))
+                    gap_len = float(rng.uniform(0.7, 2.0))
+                    intervals.append(
+                        DashInterval(
+                            gap_start=pos + dash_len,
+                            gap_end=pos + dash_len + gap_len,
+                            dash_start=all_caps[int(rng.integers(7))],
+                            dash_end=all_caps[int(rng.integers(7))],
+                        )
+                    )
+                    pos += dash_len + gap_len
+                phase = float(rng.uniform(0.0, pos))
+                cy = 10.0 + 18.0 * g
+                a = np.array([6.0 + rng.uniform(0, 3), cy])
+                angle = rng.uniform(-0.2, 0.2)
+                length = rng.uniform(40.0, 50.0)
+                b = a + length * np.array([np.cos(angle), np.sin(angle)])
+                p = Path(start=tuple(a))
+                p.push_line(LineSegment([tuple(b)]))
+                p.stroke_options = StrokeOptions(
+                    width=width, dynamic_stroke_options_group=g
+                )
+                paths.append(p)
+                segs.append((a, b))
+                options.append(
+                    DynamicStrokeOptions.make_dashed(
+                        Join.MITER, intervals, phase=phase
+                    )
+                )
+                descs.append((intervals, phase))
+            image = _render_stroke_scene(paths, options)
+
+            def region(model_pts):
+                inside = np.zeros(len(model_pts), bool)
+                for (a, b), (intervals, phase) in zip(segs, descs):
+                    t, s, length, _, _ = _seg_coords(model_pts, a, b)
+                    x = s / width
+                    in_rect = (
+                        (np.abs(x) <= 0.5)
+                        & (t >= -width / 2.0)
+                        & (t <= length + width / 2.0)
+                    )
+                    pattern_len = intervals[-1].gap_end
+                    position = np.remainder(t / width - phase, pattern_len)
+                    # First interval whose gap_end covers the position.
+                    n = len(intervals)
+                    interval_of = np.full(len(t), n - 1)
+                    for i in reversed(range(n)):
+                        interval_of = np.where(
+                            intervals[i].gap_end - position >= 0.0,
+                            i, interval_of,
+                        )
+                    on = np.zeros(len(t), bool)
+                    for i, iv in enumerate(intervals):
+                        here = interval_of == i
+                        start_cap_next = intervals[(i + 1) % n].dash_start
+                        on_i = (
+                            (position <= iv.gap_start)
+                            | _cap_region(
+                                x, position - iv.gap_start, iv.dash_end
+                            )
+                            | _cap_region(
+                                x, iv.gap_end - position, start_cap_next
+                            )
+                        )
+                        on |= here & on_i
+                    inside |= in_rect & on
+                return inside
+
+            _compare_stroke_coverage(
+                image, region, f"dash scene {scene_index}"
+            )
