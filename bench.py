@@ -21,14 +21,23 @@ import time
 
 
 def main():
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_bench")
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.expanduser("~/.cache/jax_cache_bench"),
+    )
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
     from contrast_renderer_tpu.utils.backend import ensure_live_backend
 
+    # A transient tunnel wedge must delay the measurement, not zero it:
+    # keep re-probing for BENCH_RETRY_S (default 10 min) before falling
+    # back to a labeled CPU artifact.
+    retry_window = float(os.environ.get("BENCH_RETRY_S", "600"))
     device_fallback = (
         "accelerator backend unreachable (tunnel down?); "
         "CPU fallback at reduced size"
-        if ensure_live_backend(warn_label="bench")
+        if ensure_live_backend(
+            warn_label="bench", retry_window_s=retry_window
+        )
         else None
     )
     import jax
@@ -56,10 +65,22 @@ def main():
     # (BASELINE config 5 as written) — clip/alpha state compiles into
     # the kernel and every covered tile pays the clip compare.
     clip_alpha = bool(os.environ.get("BENCH_CLIP"))
+    # BENCH_DEPTH=1: the reference showcase's exact depth state
+    # (LessEqual compare + write, examples/showcase/main.rs:46-49) —
+    # later-drawn far grid instances lose to the near center instance's
+    # ink, and every color cover pays the per-sample depth test.
+    depth = bool(os.environ.get("BENCH_DEPTH"))
+    depth_kwargs = (
+        {"depth_compare": "less_equal", "depth_write_enabled": True}
+        if depth
+        else {}
+    )
     config = (
-        Configuration(alpha_layer_count=1, blending="front_to_back")
+        Configuration(
+            alpha_layer_count=1, blending="front_to_back", **depth_kwargs
+        )
         if clip_alpha
-        else Configuration()
+        else Configuration(**depth_kwargs)
     )
     # Interactive camera motion uses the deferred capacity check (one
     # frame of latency on buffer growth instead of a sync per frame).
@@ -190,6 +211,7 @@ def main():
         + ("_orbit" if orbit else "")
         + (f"_seq{seq}" if seq else "")
         + ("_clipalpha" if clip_alpha else "")
+        + ("_depth" if depth else "")
         + ("_instanced" if instanced else "")
         + ("" if with_text else "_notext")
     )

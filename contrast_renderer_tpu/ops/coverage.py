@@ -202,6 +202,17 @@ class FrameSpec:
     #: reference's color cover is always solid, shaders.wgsl:304-309,
     #: and custom paints require user shaders).
     paints: tuple = ()
+    #: Depth compare function of the color cover (wgpu CompareFunction;
+    #: reference Configuration.depth_compare, renderer.rs:387-390).  In
+    #: the reference ONLY the color cover pipeline carries the
+    #: configured depth state — every other pipeline is Always/no-write
+    #: (renderer.rs:601-841) — so stencil/clip/alpha ops here never
+    #: touch the depth buffer either.  "always" + no write (the
+    #: default) compiles the depth machinery out entirely.
+    depth_compare: str = "always"
+    #: Whether the color cover writes back fragment depth (wgpu
+    #: depth_write_enabled, renderer.rs:389-390).
+    depth_write: bool = False
     tile_h: int = 32
     tile_w: int = 128
     capacity: int = 256             # per-tile local entry rows
@@ -255,12 +266,27 @@ def _canonical_blend(blending):
     return tuple(color), tuple(alpha)
 
 
-def _blend_channel(comp, s, d, ca, da):
+def blend_uses_constant(blending) -> bool:
+    """True when the blend state references the runtime blend-constant
+    color (wgpu's set_blend_constant); the packer then appends the
+    constant to cmd_f and the kernel reads it back."""
+    color, alpha = _canonical_blend(blending)
+    return any(
+        f in ("constant", "one_minus_constant")
+        for comp in (color, alpha)
+        for f in (comp[0], comp[2])
+    )
+
+
+def _blend_channel(comp, s, d, ca, da, chan=0, const=None):
     """out = op(s·src_factor, d·dst_factor) for one channel, wgpu
     semantics (shaders are premultiplied; `min`/`max` ignore factors).
 
     `ca`: the draw's scalar source alpha; `da`: the destination alpha
-    sampled before this draw touched any channel."""
+    sampled before this draw touched any channel; `chan`: which channel
+    (0-3 — src_alpha_saturated and the constant factors are
+    channel-dependent); `const`: the 4 runtime blend-constant scalars
+    (present iff the state uses constant factors)."""
     src_f, op, dst_f = comp
     if op == "min":
         return jnp.minimum(s, d)
@@ -268,14 +294,26 @@ def _blend_channel(comp, s, d, ca, da):
         return jnp.maximum(s, d)
 
     def factor(name):
-        return {
-            "zero": 0.0,
-            "one": 1.0,
-            "src_alpha": ca,
-            "one_minus_src_alpha": 1.0 - ca,
-            "dst_alpha": da,
-            "one_minus_dst_alpha": 1.0 - da,
-        }[name]
+        if name == "zero":
+            return 0.0
+        if name == "one":
+            return 1.0
+        if name == "src_alpha":
+            return ca
+        if name == "one_minus_src_alpha":
+            return 1.0 - ca
+        if name == "dst_alpha":
+            return da
+        if name == "one_minus_dst_alpha":
+            return 1.0 - da
+        if name == "src_alpha_saturated":
+            # wgpu SrcAlphaSaturated: min(αs, 1−αd) on RGB, 1 on alpha.
+            return jnp.minimum(ca, 1.0 - da) if chan < 3 else 1.0
+        if name == "constant":
+            return const[chan]
+        if name == "one_minus_constant":
+            return 1.0 - const[chan]
+        raise ValueError(f"unknown blend factor {name!r}")
 
     st = s * factor(src_f) if src_f != "zero" else 0.0
     dt = d * factor(dst_f) if dst_f != "zero" else 0.0
@@ -302,6 +340,7 @@ class PreparedFrame(NamedTuple):
     acount: jnp.ndarray   # (n_tiles, 1, 1)
     hull_lines: jnp.ndarray  # (Rc, Hm, 4) inward-oriented pixel lines
     paint_xy: jnp.ndarray    # (Rc, 4) gradient endpoints in pixels
+    zplane: jnp.ndarray      # (Rc, 3) NDC-z = a·px + b·py + c per draw
     overflow: jnp.ndarray    # (4,) max local count, global count,
     #                          max tile globals, near-plane crossings
 
@@ -853,6 +892,44 @@ def make_prepare(spec: FrameSpec):
             paint_xy = jnp.stack(
                 [ppx[:, 0], ppy[:, 0], ppx[:, 1], ppy[:, 1]], axis=-1
             )
+
+        # ---- per-cover-draw depth planes --------------------------------
+        # For planar model geometry (z=0), NDC z is an affine function
+        # of pixel coordinates (the same screen-space linearity GPUs
+        # exploit to interpolate depth): solve z_ndc = a·px + b·py + c
+        # from the transform rows without any perspective divide, using
+        # px·w = (x_clip + w)·W/2 and py·w = (w − y_clip)·H/2 — both
+        # affine over the model plane — so behind-the-eye sample points
+        # can never poison the solve.  Consumed by the color cover's
+        # depth test (reference depth_compare/depth_write_enabled,
+        # renderer.rs:387-390); zeros when depth is compiled out.
+        if spec.depth_write or spec.depth_compare != "always":
+            mcols = jnp.asarray([0, 1, 3])  # coefficients over (x, y, 1)
+            Xr = ctf[:, 0, mcols]
+            Yr = ctf[:, 1, mcols]
+            Zr = ctf[:, 2, mcols]
+            Wr = ctf[:, 3, mcols]
+            # Match coefficients of (x, y, 1) in
+            #   Z = a·(X + W)·W/2 + b·(W − Y)·H/2 + c·W.
+            A = jnp.stack(
+                [(Xr + Wr) * (0.5 * W), (Wr - Yr) * (0.5 * H), Wr],
+                axis=-1,
+            )  # (Rc, 3, 3): rows over (x, y, 1), columns over (a, b, c)
+            det = jnp.linalg.det(A)
+            safe = jnp.abs(det) > 1e-30
+            zplane = jnp.where(
+                safe[:, None],
+                jnp.linalg.solve(
+                    jnp.where(
+                        safe[:, None, None], A,
+                        jnp.broadcast_to(jnp.eye(3, dtype=f32), A.shape),
+                    ),
+                    Zr[..., None],
+                )[..., 0],
+                jnp.zeros((Rc, 3), f32),
+            )
+        else:
+            zplane = jnp.zeros((Rc, 3), f32)
         ones = jnp.ones((Cc, Hm, 1), f32)
         hclip = jnp.einsum(
             "chk,crk->chr",
@@ -998,6 +1075,7 @@ def make_prepare(spec: FrameSpec):
             acount=acount[:, None, None],
             hull_lines=hull_lines,
             paint_xy=paint_xy,
+            zplane=zplane,
             overflow=overflow,
         )
 
@@ -1140,6 +1218,10 @@ def make_rasterize(spec: FrameSpec):
     winding_mask = (1 << spec.winding_bits) - 1
     offsets = SAMPLE_PATTERNS[S]
     blend_color, blend_alpha = _canonical_blend(spec.blending)
+    uses_blend_const = blend_uses_constant(spec.blending)
+    depth_compare = spec.depth_compare
+    depth_write = spec.depth_write
+    has_depth = depth_write or depth_compare != "always"
     # Static frame-program specialization: frames with no clip / alpha
     # commands (the common case) skip the per-tile state zeroing and the
     # per-command per-sample clip compare entirely.
@@ -1156,8 +1238,8 @@ def make_rasterize(spec: FrameSpec):
     has_paint = bool(any(spec.paints))
 
     def kernel(
-        cmd_i, cmd_f, paint_xy, unit_cmd_s, unit_draw_s, acount, aclist,
-        off, g_off, bulk, cls, hbits,
+        cmd_i, cmd_f, paint_xy, zplane, unit_cmd_s, unit_draw_s, acount,
+        aclist, off, g_off, bulk, cls, hbits,
         tri_f, tri_i, g_tri_f, g_tri_i, hull_lines, desc_f, desc_i,
         out_ref, *scratch,
     ):
@@ -1168,6 +1250,9 @@ def make_rasterize(spec: FrameSpec):
             extra += 1
         if has_alpha:
             layerb = scratch[extra]
+            extra += 1
+        if has_depth:
+            depthb = scratch[extra]
         t = pl.program_id(0)
         tile_x0 = (t % ntx).astype(jnp.float32) * tw
         tile_y0 = (t // ntx).astype(jnp.float32) * th
@@ -1612,6 +1697,39 @@ def make_rasterize(spec: FrameSpec):
                         mask = in_hull & nonzero
                         if clip_ok is not None:
                             mask = mask & clip_ok
+                        if has_depth:
+                            # Fragment depth: the draw's NDC-z plane
+                            # evaluated at each sample (prepare solved
+                            # the affine coefficients from the
+                            # transform).  Only the color cover tests /
+                            # writes depth, like the reference's
+                            # pipelines (renderer.rs:736-745 vs 601-841);
+                            # stencil pass_op fires only when depth also
+                            # passes, so the winding reset below already
+                            # uses the combined mask (depth_fail_op is
+                            # Keep, renderer.rs:442).
+                            zval = (
+                                zplane[d, 0] * px
+                                + zplane[d, 1] * py
+                                + zplane[d, 2]
+                            )
+                            dbuf = depthb[...]
+                            dcmp = {
+                                "never": None,
+                                "less": lambda: zval < dbuf,
+                                "equal": lambda: zval == dbuf,
+                                "less_equal": lambda: zval <= dbuf,
+                                "greater": lambda: zval > dbuf,
+                                "not_equal": lambda: zval != dbuf,
+                                "greater_equal": lambda: zval >= dbuf,
+                                "always": None,
+                            }[depth_compare]
+                            if depth_compare == "never":
+                                mask = mask & jnp.zeros(
+                                    (S, th, tw), jnp.bool_
+                                )
+                            elif dcmp is not None:
+                                mask = mask & dcmp()
 
                         def blend(src, sa):
                             # Generic wgpu blend state (renderer.rs:381),
@@ -1622,6 +1740,15 @@ def make_rasterize(spec: FrameSpec):
                             # before any channel updates (dst_alpha
                             # factors must see the pre-draw value).
                             da = colorb[3]
+                            # The runtime blend constant (wgpu
+                            # set_blend_constant) rides cmd_f columns
+                            # 20:24 when the state references it.
+                            const = (
+                                (cmd_f[d, 20], cmd_f[d, 21],
+                                 cmd_f[d, 22], cmd_f[d, 23])
+                                if uses_blend_const
+                                else None
+                            )
                             for chan in range(4):
                                 comp = (
                                     blend_alpha if chan == 3
@@ -1631,7 +1758,7 @@ def make_rasterize(spec: FrameSpec):
                                     mask,
                                     _blend_channel(
                                         comp, src[chan], colorb[chan],
-                                        sa, da,
+                                        sa, da, chan, const,
                                     ),
                                     colorb[chan],
                                 )
@@ -1711,6 +1838,14 @@ def make_rasterize(spec: FrameSpec):
                                 blend(
                                     (pr * pa, pg * pa, pb * pa, pa), pa
                                 )
+
+                        if has_depth and depth_write:
+                            # Write-back for fragments that passed every
+                            # test (wgpu writes depth after the combined
+                            # stencil+depth pass).
+                            depthb[...] = jnp.where(
+                                mask, zval, depthb[...]
+                            )
 
                     if has_clip:
                         @pl.when(op == OP_CLIP)
@@ -1803,6 +1938,10 @@ def make_rasterize(spec: FrameSpec):
                 clipb[...] = jnp.zeros((S, th, tw), jnp.int32)
             if has_alpha:
                 layerb[...] = jnp.zeros((L, S, th, tw), jnp.float32)
+            if has_depth:
+                # The reference render pass clears depth to 1.0
+                # (examples/showcase/main.rs LoadOp::Clear(1.0)).
+                depthb[...] = jnp.ones((S, th, tw), jnp.float32)
 
             jax.lax.fori_loop(0, n_active, cmd_body, 0)
 
@@ -1815,6 +1954,7 @@ def make_rasterize(spec: FrameSpec):
         pl.BlockSpec(memory_space=pltpu.SMEM),                       # cmd_i
         pl.BlockSpec(memory_space=pltpu.SMEM),                       # cmd_f
         pl.BlockSpec(memory_space=pltpu.SMEM),                       # paint_xy
+        pl.BlockSpec(memory_space=pltpu.SMEM),                       # zplane
         pl.BlockSpec(memory_space=pltpu.SMEM),                       # unit_cmd
         pl.BlockSpec(memory_space=pltpu.SMEM),                       # unit_draw
         pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
@@ -1859,6 +1999,8 @@ def make_rasterize(spec: FrameSpec):
             + ([pltpu.VMEM((S, th, tw), jnp.int32)] if has_clip else [])
             + ([pltpu.VMEM((L, S, th, tw), jnp.float32)] if has_alpha
                else [])
+            + ([pltpu.VMEM((S, th, tw), jnp.float32)] if has_depth
+               else [])
         ),
         interpret=spec.interpret,
     )
@@ -1868,7 +2010,8 @@ def make_rasterize(spec: FrameSpec):
 
     def rasterize(prepared: PreparedFrame, cmd_i, cmd_f, desc_f, desc_i):
         tiles = raster_call(
-            cmd_i, cmd_f, prepared.paint_xy, unit_cmd_dev, unit_draw_dev,
+            cmd_i, cmd_f, prepared.paint_xy, prepared.zplane,
+            unit_cmd_dev, unit_draw_dev,
             prepared.acount, prepared.aclist, prepared.off, prepared.g_off,
             prepared.bulk, prepared.cls, prepared.hbits,
             prepared.tri_f, prepared.tri_i,

