@@ -385,7 +385,8 @@ def main():
     parser.add_argument("--frames", type=int, default=16)
     args = parser.parse_args()
     os.environ.setdefault(
-        "JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_bench_configs"
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.expanduser("~/.cache/jax_cache_bench_configs")
     )
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
     wanted = {int(x) for x in args.configs.split(",")}

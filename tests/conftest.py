@@ -20,7 +20,13 @@ if "xla_force_host_platform_device_count" not in flags:
 # source edits: an edited kernel lowers to different HLO and misses; an
 # unchanged one still hits — which is what keeps incremental test runs
 # to minutes instead of recompiling the world after every edit.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tests")
+# The cache lives under ~/.cache (durable across /tmp cleanup; losing
+# it costs a ~35 min cold recompile on this 1-core host) and is
+# env-overridable.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.expanduser("~/.cache/jax_cache_tests"),
+)
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
