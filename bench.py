@@ -119,7 +119,12 @@ def main():
         # FrameProgram runs camera-binning-raster as ONE dispatch with
         # the transform stack as a runtime input — the reference's
         # "camera is just a matrix" economics.
-        program = renderer.compile_frame(commands)
+        # BENCH_U8=1: resolve to packed RGBA8 in the kernel (the
+        # presentation format — reference surfaces are 8-bit); skips
+        # the float de-tile transpose and writes 1/4 the output bytes.
+        program = renderer.compile_frame(
+            commands, uint8_output=bool(os.environ.get("BENCH_U8"))
+        )
 
         def orbit_transforms(t):
             angle = 0.05 * t
@@ -212,6 +217,7 @@ def main():
         + (f"_seq{seq}" if seq else "")
         + ("_clipalpha" if clip_alpha else "")
         + ("_depth" if depth else "")
+        + ("_u8" if orbit and os.environ.get("BENCH_U8") else "")
         + ("_instanced" if instanced else "")
         + ("" if with_text else "_notext")
     )

@@ -213,6 +213,14 @@ class FrameSpec:
     #: Whether the color cover writes back fragment depth (wgpu
     #: depth_write_enabled, renderer.rs:389-390).
     depth_write: bool = False
+    #: Resolve straight to packed RGBA8 in the kernel: each tile writes
+    #: one int32 lane per pixel (R | G<<8 | B<<16 | A<<24, i.e. RGBA8
+    #: little-endian — the reference presents to an 8-bit swapchain
+    #: surface the same way) at its final mosaic position, so the
+    #: float de-tiling transpose, the separate quantize pass, and 3/4
+    #: of the output HBM traffic disappear.  Bit-identical to
+    #: Renderer._quantize of the float output.
+    out_uint8: bool = False
     tile_h: int = 32
     tile_w: int = 128
     capacity: int = 256             # per-tile local entry rows
@@ -1222,6 +1230,7 @@ def make_rasterize(spec: FrameSpec):
     depth_compare = spec.depth_compare
     depth_write = spec.depth_write
     has_depth = depth_write or depth_compare != "always"
+    out_u8 = spec.out_uint8
     # Static frame-program specialization: frames with no clip / alpha
     # commands (the common case) skip the per-tile state zeroing and the
     # per-command per-sample clip compare entirely.
@@ -1928,7 +1937,10 @@ def make_rasterize(spec: FrameSpec):
         # all scratch zeroing and the resolve read entirely.
         @pl.when(n_active == 0)
         def _empty_tile():
-            out_ref[...] = jnp.zeros((1, 4, th, tw), jnp.float32)
+            if out_u8:
+                out_ref[...] = jnp.zeros((th, tw), jnp.int32)
+            else:
+                out_ref[...] = jnp.zeros((1, 4, th, tw), jnp.float32)
 
         @pl.when(n_active > 0)
         def _tile_body():
@@ -1946,8 +1958,28 @@ def make_rasterize(spec: FrameSpec):
             jax.lax.fori_loop(0, n_active, cmd_body, 0)
 
             inv_s = jnp.float32(1.0 / S)
-            for chan in range(4):
-                out_ref[0, chan] = jnp.sum(colorb[chan], axis=0) * inv_s
+            if out_u8:
+                # Quantize + pack at resolve time (bit-identical to
+                # Renderer._quantize: floor(clip·255 + 0.5)).  A<<24
+                # wraps into the int32 sign bit for A >= 128 — the bit
+                # pattern is exactly the little-endian RGBA8 quad the
+                # host bitcasts back to uint8.
+                q = []
+                for chan in range(4):
+                    v = jnp.sum(colorb[chan], axis=0) * inv_s
+                    q.append(
+                        jnp.floor(
+                            jnp.clip(v, 0.0, 1.0) * 255.0 + 0.5
+                        ).astype(jnp.int32)
+                    )
+                out_ref[...] = (
+                    q[0] | (q[1] << 8) | (q[2] << 16) | (q[3] << 24)
+                )
+            else:
+                for chan in range(4):
+                    out_ref[0, chan] = (
+                        jnp.sum(colorb[chan], axis=0) * inv_s
+                    )
 
     grid = (n_tiles,)
     in_specs = [
@@ -1984,12 +2016,21 @@ def make_rasterize(spec: FrameSpec):
         pl.BlockSpec(memory_space=pltpu.VMEM),                       # desc_i
     ]
 
+    if out_u8:
+        # Each tile's packed-RGBA8 block lands at its final mosaic
+        # position — no de-tiling transpose downstream.
+        out_specs = pl.BlockSpec((th, tw), lambda i: (i // ntx, i % ntx))
+        out_shape = jax.ShapeDtypeStruct((nty * th, ntx * tw), jnp.int32)
+    else:
+        out_specs = pl.BlockSpec((1, 4, th, tw), lambda i: (i, 0, 0, 0))
+        out_shape = jax.ShapeDtypeStruct((n_tiles, 4, th, tw), jnp.float32)
+
     raster_call = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 4, th, tw), lambda i: (i, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, 4, th, tw), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=(
             [
                 pltpu.VMEM((S, th, tw), jnp.int32),       # wind
@@ -2018,6 +2059,12 @@ def make_rasterize(spec: FrameSpec):
             prepared.g_tri_f, prepared.g_tri_i,
             prepared.hull_lines, desc_f, desc_i,
         )
+        if out_u8:
+            # (H', W') int32 → (H, W, 4) uint8: a pure bitcast view of
+            # the little-endian RGBA quads; no data movement.
+            return jax.lax.bitcast_convert_type(
+                tiles[:H, :W], jnp.uint8
+            )
         image = tiles.reshape(nty, ntx, 4, th, tw)
         image = image.transpose(0, 3, 1, 4, 2).reshape(
             nty * th, ntx * tw, 4

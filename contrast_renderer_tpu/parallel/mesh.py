@@ -66,7 +66,7 @@ def _sub_renderer(renderer, width, height, platform):
     return sub
 
 
-def _packed_pipeline(sub, commands):
+def _packed_pipeline(sub, commands, out_uint8=False):
     """Pack `commands` for the per-device executor.
 
     Returns ``(packed, keep_rows)`` where ``packed`` feeds the mapped
@@ -74,7 +74,11 @@ def _packed_pipeline(sub, commands):
     stacks from the public one-row-per-(command, instance) layout into
     the optimized draw layout (SAVE+SCALE pairs fuse away one row each,
     renderer._optimize_commands) — identical to FrameProgram's contract.
+    ``out_uint8`` resolves each band to packed RGBA8 inside the kernel
+    (see coverage.FrameSpec.out_uint8).
     """
+    from dataclasses import replace
+
     from ..renderer import Renderer, _optimize_commands, _paint_kind
 
     sub._validate(commands)
@@ -87,6 +91,8 @@ def _packed_pipeline(sub, commands):
     cmd_inst = inst if any(n != 1 for n in inst) else ()
     paints = tuple(_paint_kind(c.color) for c in commands)
     spec = sub._spec(ops, cmd_shape, cmd_inst, scene, paints)
+    if out_uint8:
+        spec = replace(spec, out_uint8=True)
     prepare, rasterize = sub._get_executors(spec)
     cmd_i, cmd_f = Renderer._pack_commands_runtime(
         commands, sub._blend_constant_arg()
@@ -174,6 +180,7 @@ def _run_with_growth(sub, commands, run_once, outer=None):
                 sub._clip_pool,
             )
             worst = np.asarray(overflow).reshape(-1, 4).max(axis=0)
+            sub._last_binning_worst = worst  # for shrink-to-fit
             if not sub._grow_capacities(worst, limits):
                 return np.asarray(image)
         raise RuntimeError("sharded tile binning capacity did not converge")
@@ -249,12 +256,36 @@ class _ShardedProgramBase:
         # defaults could never converge (the r2 advisor finding: growing
         # a throwaway sub-renderer discards the growth).
         _run_with_growth(self._sub, self._commands, self._run_once)
+        # Shrink-to-fit (mirrors renderer.FrameProgram): the settle
+        # frame's worst per-band counters size the program's binning
+        # buffers at next-pow2(count · 1.5) instead of the renderer's
+        # worst-case defaults; overflow past them regrows through
+        # _sync's deferred rebuild.
+        worst = getattr(self._sub, "_last_binning_worst", None)
+        if worst is not None:
+            from ..renderer import _next_pow2
+
+            def fit(count, floor_, ceiling):
+                return min(ceiling, max(floor_, _next_pow2(
+                    int(count * 1.5) + 1
+                )))
+
+            sub = self._sub
+            sub.tile_capacity = fit(worst[0], 32, sub.tile_capacity)
+            sub._global_capacity = fit(worst[1], 64, sub._global_capacity)
+            sub._tile_global_capacity = fit(
+                worst[2], 16, sub._tile_global_capacity
+            )
+            sub._clip_pool = fit(worst[3], 16, sub._clip_pool)
         self._pending = []
         self._frame = 0
         self._build()
 
     def _build(self):
-        packed, self._keep_rows = _packed_pipeline(self._sub, self._commands)
+        packed, self._keep_rows = _packed_pipeline(
+            self._sub, self._commands,
+            out_uint8=getattr(self, "_uint8", False),
+        )
         self._default_transform = packed[8]
         self._compile(packed)
         self._limits = (
@@ -319,7 +350,8 @@ class ShardedFrameProgram(_ShardedProgramBase):
     (per-frame `render_sharded` re-traces the mapped pipeline every
     call, which dominates under camera animation)."""
 
-    def __init__(self, renderer, commands, mesh: Mesh, axis: str = "y"):
+    def __init__(self, renderer, commands, mesh: Mesh, axis: str = "y",
+                 uint8_output: bool = False):
         num_bands = mesh.shape[axis]
         assert renderer.height % num_bands == 0, (
             "height must divide the mesh axis"
@@ -332,6 +364,8 @@ class ShardedFrameProgram(_ShardedProgramBase):
         self._axis = axis
         self._num_bands = num_bands
         self._commands = list(commands)
+        #: Per-band packed-RGBA8 resolve (see FrameProgram uint8_output).
+        self._uint8 = bool(uint8_output)
         self._settle_and_build()
 
     def _run_once(self, packed):
@@ -355,7 +389,8 @@ class ShardedFrameProgram2D(_ShardedProgramBase):
     ``axes[0]``, columns over ``axes[1]``)."""
 
     def __init__(
-        self, renderer, commands, mesh: Mesh, axes: tuple = ("y", "x")
+        self, renderer, commands, mesh: Mesh, axes: tuple = ("y", "x"),
+        uint8_output: bool = False,
     ):
         ay, ax = axes
         ny, nx = mesh.shape[ay], mesh.shape[ax]
@@ -368,6 +403,7 @@ class ShardedFrameProgram2D(_ShardedProgramBase):
         self._axes = axes
         self._ny, self._nx = ny, nx
         self._commands = list(commands)
+        self._uint8 = bool(uint8_output)
         self._settle_and_build()
 
     def _run_once(self, packed):

@@ -24,6 +24,7 @@ Execution is staged for the reference's update economics
 from __future__ import annotations
 
 import enum
+import hashlib
 import logging
 from dataclasses import dataclass, replace
 from typing import List, Sequence, Tuple
@@ -999,8 +1000,18 @@ class Renderer:
         return np.ascontiguousarray(np.concatenate(rows), dtype=np.float32)
 
     def _dev_cached(self, name: str, arr: np.ndarray):
-        """Device copy of `arr`, re-uploaded only when its bytes change."""
-        key = (name, arr.shape, arr.dtype.str, arr.tobytes())
+        """Device copy of `arr`, re-uploaded only when its bytes change.
+
+        Keyed on a 16-byte BLAKE2 digest rather than the raw bytes: the
+        digest is computed in one pass over the buffer (no bytes()
+        copy for contiguous arrays) and the dict never retains or
+        re-compares megabyte keys.  render()-path only — FrameProgram
+        packs its tables once at build time."""
+        digest = hashlib.blake2b(
+            arr if arr.flags["C_CONTIGUOUS"] else arr.tobytes(),
+            digest_size=16,
+        ).digest()
+        key = (name, arr.shape, arr.dtype.str, digest)
         dev = self._upload_cache.get(key)
         if dev is None:
             if len(self._upload_cache) >= 64:
@@ -1197,10 +1208,14 @@ class Renderer:
             image = image + np.asarray(background, np.float32) * (1.0 - alpha)
         return image
 
-    def compile_frame(self, commands: Sequence[DrawCommand]) -> "FrameProgram":
+    def compile_frame(
+        self, commands: Sequence[DrawCommand], uint8_output: bool = False
+    ) -> "FrameProgram":
         """Compile a fused single-dispatch frame program for this
-        command structure (see :class:`FrameProgram`)."""
-        return FrameProgram(self, commands)
+        command structure (see :class:`FrameProgram`).
+        ``uint8_output=True`` resolves to packed RGBA8 inside the
+        kernel — the presentation path."""
+        return FrameProgram(self, commands, uint8_output=uint8_output)
 
     @staticmethod
     @jax.jit
@@ -1261,9 +1276,17 @@ class FrameProgram:
     recompiles.
     """
 
-    def __init__(self, renderer: Renderer, commands: Sequence[DrawCommand]):
+    def __init__(self, renderer: Renderer, commands: Sequence[DrawCommand],
+                 uint8_output: bool = False):
         self._renderer = renderer
         self._commands = list(commands)
+        #: Resolve to packed RGBA8 inside the raster kernel (the
+        #: swapchain-presentation layout; reference surfaces are 8-bit,
+        #: application_framework.rs).  Skips the float de-tiling
+        #: transpose and the separate quantize pass and writes 1/4 the
+        #: output bytes; frames come back (H, W, 4) uint8, bit-identical
+        #: to Renderer._quantize of the float path.
+        self._uint8 = bool(uint8_output)
         renderer._validate(self._commands)
         # The kernel walks the *optimized* command list (SAVE+SCALE
         # pairs fused); caller-supplied transform stacks stay in the
@@ -1286,6 +1309,44 @@ class FrameProgram:
             renderer.render(self._commands, to_host=False)
         finally:
             renderer.strict_capacity = was_strict
+        # Shrink-to-fit: the settle frame's counters say what the scene
+        # actually uses; the renderer's defaults (sized for arbitrary
+        # scenes) can be several times larger.  Oversized capacities
+        # cost every frame — the binning stage materializes
+        # O(n_tiles × K) dense rows and the kernel DMAs (K, 32)-float
+        # blocks per tile whether used or not — so the program runs at
+        # next-pow2(count · 1.5) with sensible floors; a camera sweep
+        # that exceeds them regrows through the deferred-overflow
+        # rebuild below (one recompile, never a wrong frame beyond the
+        # OVERFLOW_MAX_LAG under-population window).
+        stats = renderer.stats
+        margin = 1.5
+
+        def fit(count, floor_, ceiling):
+            return min(ceiling, max(floor_, _next_pow2(
+                int(count * margin) + 1
+            )))
+
+        self._caps = {
+            "capacity": fit(
+                stats.get("max_tile_entries", renderer.tile_capacity),
+                32, renderer.tile_capacity,
+            ),
+            "global_capacity": fit(
+                stats.get("global_triangles", renderer._global_capacity),
+                64, renderer._global_capacity,
+            ),
+            "tile_global_capacity": fit(
+                stats.get(
+                    "max_tile_globals", renderer._tile_global_capacity
+                ),
+                16, renderer._tile_global_capacity,
+            ),
+            "clip_pool": fit(
+                stats.get("near_plane_crossings", renderer._clip_pool),
+                16, renderer._clip_pool,
+            ),
+        }
         self._pending = []
         self._frame = 0
         self._build()
@@ -1297,6 +1358,9 @@ class FrameProgram:
         spec = renderer._spec(
             self._ops, self._cmd_shape, self._cmd_inst, scene, self._paints
         )
+        spec = replace(spec, **self._caps)
+        if self._uint8:
+            spec = replace(spec, out_uint8=True)
         self._spec = spec
         prepare = coverage.make_prepare(spec)
         rasterize = coverage.make_rasterize(spec)
@@ -1317,7 +1381,10 @@ class FrameProgram:
             # Fold the completion probe into the frame program: a real
             # data dependency per frame in ONE dispatch (every extra
             # launch costs a full round trip on remote links).
-            return image, overflow, carry + jnp.sum(image[..., 3])
+            probe = image[..., 3]
+            if probe.dtype != jnp.float32:  # packed-uint8 programs
+                probe = probe.astype(jnp.float32)
+            return image, overflow, carry + jnp.sum(probe)
 
         def step_sequence(scene_arrays, transforms_seq, desc_static,
                           cmd_i, cmd_f, desc_f, desc_i, paint_model,
@@ -1330,7 +1397,10 @@ class FrameProgram:
                 image, overflow = step(scene_arrays, tf, desc_static,
                                        cmd_i, cmd_f, desc_f, desc_i,
                                        paint_model)
-                out = Renderer._quantize(image) if as_uint8 else image
+                if image.dtype == jnp.uint8:  # kernel-packed already
+                    out = image
+                else:
+                    out = Renderer._quantize(image) if as_uint8 else image
                 return jnp.maximum(carry, overflow), out
 
             worst, frames = jax.lax.scan(
@@ -1369,17 +1439,29 @@ class FrameProgram:
         renderer = self._renderer
         grew = False
         keep = []
-        limits = (
-            self._spec.capacity,
-            self._spec.global_capacity,
-            self._spec.tile_global_capacity,
-            self._spec.clip_pool,
+        names = (
+            "capacity", "global_capacity", "tile_global_capacity",
+            "clip_pool",
         )
         for overflow_arr, born in self._pending:
             ready = getattr(overflow_arr, "is_ready", lambda: True)()
             if ready or self._frame - born >= self.OVERFLOW_MAX_LAG:
-                grew |= renderer._grow_capacities(
-                    np.asarray(overflow_arr), limits
+                worst = np.asarray(overflow_arr)
+                # Grow the program's own (shrunk-to-fit) capacities;
+                # the renderer's floor capacities grow alongside so a
+                # future program settles at the converged sizes.
+                for i, name in enumerate(names):
+                    if int(worst[i]) > self._caps[name]:
+                        self._caps[name] = _next_pow2(int(worst[i]))
+                        grew = True
+                renderer._grow_capacities(
+                    worst,
+                    (
+                        renderer.tile_capacity,
+                        renderer._global_capacity,
+                        renderer._tile_global_capacity,
+                        renderer._clip_pool,
+                    ),
                 )
             else:
                 keep.append((overflow_arr, born))

@@ -33,6 +33,9 @@ def main():
     parser.add_argument("--frames", type=int, default=8)
     parser.add_argument("--out", default="/tmp/showcase_frames")
     parser.add_argument("--no-text", action="store_true")
+    parser.add_argument("--depth", action="store_true",
+                        help="the reference showcase's depth state "
+                             "(LessEqual + write, main.rs:46-49)")
     parser.add_argument("--save-every", type=int, default=1,
                         help="write every Nth frame as PNG")
     args = parser.parse_args()
@@ -45,7 +48,12 @@ def main():
     width, height = (int(x) for x in args.size.split("x"))
     os.makedirs(args.out, exist_ok=True)
 
-    renderer = Renderer(Configuration(), width, height)
+    config = (
+        Configuration(depth_compare="less_equal", depth_write_enabled=True)
+        if args.depth
+        else Configuration()
+    )
+    renderer = Renderer(config, width, height)
     shape = showcase.build_shape(with_text=not args.no_text)
     commands = showcase.showcase_commands(shape, width, height)
 

@@ -647,6 +647,53 @@ class TestDepth:
         with pytest.raises(ValueError):
             Configuration(depth_compare="sometimes")
 
+    def test_depth_inside_clip(self):
+        """Depth and clip compose: inside the clip region the z-buffer
+        occludes the later far draw, outside it nothing draws at all
+        (color covers honor both the stencil/clip test and the depth
+        test, as the reference's combined stencil+depth state does)."""
+        clip_shape = Shape([Path.from_rect((32.0, 32.0), (16.0, 32.0))])
+        near = Shape([Path.from_circle((28.0, 32.0), 14.0)])
+        far = Shape([Path.from_circle((40.0, 32.0), 14.0)])
+        commands = [
+            DrawCommand(RenderOperation.STENCIL, clip_shape, ortho()),
+            DrawCommand(
+                RenderOperation.CLIP, clip_shape, ortho(), clip_depth=1
+            ),
+        ]
+        for shape, z, color in (
+            (near, 0.3, (1.0, 0.0, 0.0, 1.0)),
+            (far, 0.7, (0.0, 1.0, 0.0, 1.0)),
+        ):
+            commands += [
+                DrawCommand(
+                    RenderOperation.STENCIL, shape, ortho_z(z),
+                    clip_depth=1,
+                ),
+                DrawCommand(
+                    RenderOperation.COLOR, shape, ortho_z(z),
+                    color=color, clip_depth=1,
+                ),
+            ]
+        commands.append(
+            DrawCommand(
+                RenderOperation.UNCLIP, clip_shape, ortho(), clip_depth=0
+            )
+        )
+        r = Renderer(
+            Configuration(
+                depth_compare="less_equal", depth_write_enabled=True
+            ),
+            SIZE, SIZE,
+        )
+        image = np.asarray(r.render(commands))
+        # Clip rect spans x in [16, 48].  Overlap inside clip: near wins.
+        assert np.allclose(image[32, 34], [1, 0, 0, 1], atol=1e-5)
+        # Far-circle ink outside the clip (x=50 < 54): nothing.
+        assert np.allclose(image[32, 50], 0.0, atol=1e-6)
+        # Far circle inside clip past the near ink (x=45 > 42): green.
+        assert np.allclose(image[32, 45], [0, 1, 0, 1], atol=1e-5)
+
     def test_showcase_depth_state_matches_reference_semantics(self):
         """Pin the depth decision (r2 verdict §missing 3): under the
         reference showcase's LessEqual+write state
@@ -827,6 +874,85 @@ class TestCarryProbe:
         image, acc = program(carry=jnp.float32(0.0))
         assert np.array_equal(np.asarray(image), plain)
         assert np.isclose(float(acc), plain[..., 3].sum(), rtol=1e-5)
+
+    def test_frame_program_shrinks_capacities_to_scene(self):
+        """The settle frame's counters size the compiled program's
+        binning buffers (next-pow2 with margin), not the renderer's
+        worst-case defaults — the dense per-tile materialization and
+        the kernel's per-tile DMA blocks scale with this capacity
+        every frame."""
+        from contrast_renderer_tpu.models import showcase
+
+        size = 64
+        r = Renderer(Configuration(), size, size)
+        shape = showcase.build_shape(with_text=False)
+        commands = showcase.showcase_commands(shape, size, size)[:4]
+        program = r.compile_frame(commands)
+        assert program._spec.capacity < r.tile_capacity
+        assert program._spec.capacity >= 32  # floor
+        want = np.asarray(r.render(commands))
+        assert np.allclose(np.asarray(program()), want, atol=1e-6)
+
+    def test_frame_program_self_heals_after_capacity_shrink(self):
+        """A scene that outgrows the shrunk-to-fit capacities triggers
+        the deferred rebuild with grown program-local capacities
+        (never clamped back down by the fit)."""
+        from contrast_renderer_tpu.models import showcase
+
+        size = 64
+        r = Renderer(Configuration(), size, size)
+        shape = showcase.build_shape(with_text=False)
+        commands = showcase.showcase_commands(shape, size, size)[:4]
+        program = r.compile_frame(commands)
+        demand = r.stats["max_tile_entries"]
+        assert demand > 1, "scene too sparse to exercise overflow"
+        want = np.asarray(program())
+        # Fault injection: under-provision the per-tile capacity and
+        # rebuild, simulating a camera sweep past the settle frame's
+        # counts.
+        program._caps["capacity"] = 1
+        program._pending.clear()  # only the injected build's counters
+        program._build()
+        assert program._spec.capacity == 1
+        program.OVERFLOW_MAX_LAG = 0  # consume counters synchronously
+        program()  # overflows (possibly under-populated)
+        healed = np.asarray(program())  # consumed counter → rebuild
+        assert program._caps["capacity"] >= demand
+        assert np.allclose(healed, want, atol=1e-6), (
+            np.abs(healed - want).max()
+        )
+
+    def test_frame_program_uint8_output_matches_quantized_float(self):
+        """uint8_output=True resolves to packed RGBA8 inside the kernel
+        (the swapchain presentation format; reference surfaces are
+        8-bit) — bit-identical to quantizing the float program's output,
+        including under a moved camera and with a carry probe."""
+        import jax.numpy as jnp
+
+        from contrast_renderer_tpu.models import showcase
+
+        size = 64
+        r = Renderer(Configuration(), size, size)
+        shape = showcase.build_shape(with_text=False)
+        commands = showcase.showcase_commands(shape, size, size)[:4]
+        fprog = r.compile_frame(commands)
+        uprog = r.compile_frame(commands, uint8_output=True)
+        want = np.asarray(Renderer._quantize(fprog()))
+        got = np.asarray(uprog())
+        assert got.dtype == np.uint8 and got.shape == (size, size, 4)
+        assert np.array_equal(got, want)
+        # Camera motion (runtime transforms) and the carry probe.
+        rotor = np.array([np.cos(0.1), 0.0, np.sin(0.1), 0.0])
+        moved = showcase.command_transforms(
+            size, size, view_rotation=rotor
+        )[: len(commands)]
+        want2 = np.asarray(Renderer._quantize(fprog(moved)))
+        got2, acc = uprog(moved, carry=jnp.float32(0.0))
+        got2 = np.asarray(got2)
+        assert np.array_equal(got2, want2)
+        assert np.isclose(
+            float(acc), got2[..., 3].astype(np.float64).sum(), rtol=1e-5
+        )
 
 
 class TestSaveScaleFusion:

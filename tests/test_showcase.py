@@ -358,6 +358,33 @@ class TestMultiChip:
             np.abs(healed - want).max()
         )
 
+    def test_sharded_program_uint8_output(self, shape):
+        """uint8_output=True resolves each band to packed RGBA8 in the
+        kernel — bit-identical to quantizing the float sharded frame."""
+        import jax
+        from jax.sharding import Mesh
+
+        from contrast_renderer_tpu.parallel import ShardedFrameProgram
+
+        cpu_devices = jax.devices("cpu")
+        n = min(4, len(cpu_devices))
+        assert n >= 2
+        width, height = 64, 64
+        commands = showcase.showcase_commands(shape, width, height)[:2]
+        mesh = Mesh(np.array(cpu_devices[:n]), ("y",))
+        fprog = ShardedFrameProgram(
+            Renderer(Configuration(), width, height, tile_size=16),
+            commands, mesh,
+        )
+        uprog = ShardedFrameProgram(
+            Renderer(Configuration(), width, height, tile_size=16),
+            commands, mesh, uint8_output=True,
+        )
+        want = np.asarray(Renderer._quantize(fprog()))
+        got = np.asarray(uprog())
+        assert got.dtype == np.uint8 and got.shape == (height, width, 4)
+        assert np.array_equal(got, want)
+
     def test_render_sharded_writes_back_grown_capacities(self, shape):
         """Capacity growth inside render_sharded lands on the caller's
         renderer, so a ShardedFrameProgram settling capacities converges
