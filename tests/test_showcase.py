@@ -358,6 +358,63 @@ class TestMultiChip:
             np.abs(healed - want).max()
         )
 
+    def test_sharded_depth_matches_single(self, shape):
+        """The per-sample depth buffer composes with band sharding: the
+        band-adjusted projection rewrites NDC x/y rows only (z/w rows
+        untouched, mesh.py band_adjusted_transform), so per-band depth
+        planes equal the full frame's.  Uses the reference showcase's
+        LessEqual+write state on two perspective instances whose inks
+        genuinely overlap."""
+        import jax
+        from jax.sharding import Mesh
+
+        from contrast_renderer_tpu.parallel import render_sharded
+        from contrast_renderer_tpu.path import Path
+        from contrast_renderer_tpu.renderer import (
+            DrawCommand,
+            RenderOperation,
+            Shape,
+        )
+
+        cpu_devices = jax.devices("cpu")
+        n = min(4, len(cpu_devices))
+        assert n >= 2
+        width, height = 64, 64
+        mesh = Mesh(np.array(cpu_devices[:n]), ("y",))
+        solid = Shape(
+            [Path.from_rounded_rect((0.0, 0.0), (5.8, 1.3), 0.5)]
+        )
+        transforms, _ = showcase.instance_transforms_and_colors(
+            width, height
+        )
+        t_center = np.ascontiguousarray(transforms[0], np.float32)
+        t_mid = np.ascontiguousarray(transforms[23], np.float32)
+        commands = []
+        for t, color in (
+            (t_center, (1.0, 1.0, 1.0, 1.0)),
+            (t_mid, (1.0, 0.0, 0.0, 1.0)),
+        ):
+            commands += [
+                DrawCommand(RenderOperation.STENCIL, solid, t),
+                DrawCommand(
+                    RenderOperation.COLOR, solid, t, color=color
+                ),
+            ]
+        config = Configuration(
+            depth_compare="less_equal", depth_write_enabled=True
+        )
+        renderer = Renderer(config, width, height, tile_size=16)
+        sharded = render_sharded(renderer, commands, mesh)
+        with jax.default_device(cpu_devices[0]):
+            single = Renderer(
+                config, width, height, tile_size=16, interpret=True
+            ).render(commands)
+        mismatch = np.mean(np.abs(sharded - single))
+        assert mismatch < 1e-4, mismatch
+        # The depth state must actually have fired: the later mid
+        # instance is occluded where the center's ink lies.
+        assert (np.asarray(single)[..., 3] > 0).any()
+
     def test_sharded_program_uint8_output(self, shape):
         """uint8_output=True resolves each band to packed RGBA8 in the
         kernel — bit-identical to quantizing the float sharded frame."""
