@@ -15,6 +15,7 @@ compatibility path; such glyphs render without their accent).
 
 from __future__ import annotations
 
+import math
 import struct
 from typing import Dict, List, Optional, Tuple
 
@@ -235,8 +236,8 @@ class CFFTable:
         if not self.outline(glyph_id, bbox) or bbox.empty:
             return None
         return (
-            int(bbox.min_x), int(bbox.min_y),
-            -int(-bbox.max_x // 1), -int(-bbox.max_y // 1),
+            math.floor(bbox.min_x), math.floor(bbox.min_y),
+            math.ceil(bbox.max_x), math.ceil(bbox.max_y),
         )
 
 
@@ -252,6 +253,8 @@ class _Type2Interp:
         self.lbias = _subr_bias(len(lsubrs))
         self.builder = builder
         self.stack: List[float] = []
+        #: 32-slot transient array for put/get (12 20 / 12 21).
+        self.transient: List[float] = [0.0] * 32
         self.x = 0.0
         self.y = 0.0
         self.n_stems = 0
@@ -429,7 +432,10 @@ class _Type2Interp:
             elif b0 == 12:  # escape
                 b1 = code[i]
                 i += 1
-                self._flex(b1)
+                if 34 <= b1 <= 37:
+                    self._flex(b1)
+                else:
+                    self._escape_op(b1)
             else:
                 # Unknown/arithmetic operators: clear the stack and
                 # continue (hint replacement etc. don't affect outline).
@@ -437,6 +443,86 @@ class _Type2Interp:
         if not self.done and depth == 0 and self.open:
             self.builder.close()
             self.open = False
+
+    def _escape_op(self, b1: int):
+        """Non-flex escape (12 x) operators: Type 2 arithmetic, storage
+        and conditional operators (TN #5177 §4.4-4.5).  These leave their
+        results ON the stack — real-world CFF fonts converted from
+        Type 1 use e.g. `div` (12 12) for fractional operand values, so
+        clearing the stack here would silently drop path segments."""
+        st = self.stack
+        if b1 == 0:  # dotsection (deprecated no-op, takes no operands)
+            return
+        if b1 == 3:  # and
+            b = st.pop()
+            a = st.pop()
+            st.append(1.0 if (a != 0.0 and b != 0.0) else 0.0)
+        elif b1 == 4:  # or
+            b = st.pop()
+            a = st.pop()
+            st.append(1.0 if (a != 0.0 or b != 0.0) else 0.0)
+        elif b1 == 5:  # not
+            st.append(1.0 if st.pop() == 0.0 else 0.0)
+        elif b1 == 9:  # abs
+            st.append(abs(st.pop()))
+        elif b1 == 10:  # add
+            b = st.pop()
+            st.append(st.pop() + b)
+        elif b1 == 11:  # sub
+            b = st.pop()
+            st.append(st.pop() - b)
+        elif b1 == 12:  # div
+            b = st.pop()
+            a = st.pop()
+            st.append(a / b if b != 0.0 else 0.0)
+        elif b1 == 14:  # neg
+            st.append(-st.pop())
+        elif b1 == 15:  # eq
+            b = st.pop()
+            st.append(1.0 if st.pop() == b else 0.0)
+        elif b1 == 18:  # drop
+            st.pop()
+        elif b1 == 20:  # put
+            j = int(st.pop())
+            v = st.pop()
+            if 0 <= j < len(self.transient):
+                self.transient[j] = v
+        elif b1 == 21:  # get
+            j = int(st.pop())
+            st.append(
+                self.transient[j] if 0 <= j < len(self.transient) else 0.0
+            )
+        elif b1 == 22:  # ifelse: s1 s2 v1 v2 → s1 if v1 <= v2 else s2
+            v2 = st.pop()
+            v1 = st.pop()
+            s2 = st.pop()
+            s1 = st.pop()
+            st.append(s1 if v1 <= v2 else s2)
+        elif b1 == 23:  # random: spec says (0, 1]; deterministic here
+            st.append(0.5)
+        elif b1 == 24:  # mul
+            b = st.pop()
+            st.append(st.pop() * b)
+        elif b1 == 26:  # sqrt
+            st.append(math.sqrt(abs(st.pop())))
+        elif b1 == 27:  # dup
+            st.append(st[-1])
+        elif b1 == 28:  # exch
+            st[-1], st[-2] = st[-2], st[-1]
+        elif b1 == 29:  # index
+            k = int(st.pop())
+            st.append(st[-1] if k < 0 else st[-1 - k])
+        elif b1 == 30:  # roll: rotate the top n elements by j
+            j = int(st.pop())
+            nn = int(st.pop())
+            if nn > 0:
+                j %= nn
+                if j:
+                    st[-nn:] = st[-j:] + st[-nn:-j]
+        else:
+            # Unknown escape operator: per spec this is an error; be
+            # permissive like ttf-parser and drop the operands.
+            st.clear()
 
     def _flex(self, b1: int):
         """The four flex operators (12 34-37): two curves whose joint

@@ -162,13 +162,16 @@ def _rect_mapped(mesh, axes, ny, nx, packed):
             jnp.arange(nx, dtype=jnp.int32))
 
 
-def _run_with_growth(sub, commands, run_once, outer=None):
+def _run_with_growth(sub, commands, run_once, outer=None, to_host=True):
     """Run a sharded frame, growing binning capacities on overflow (the
     same contract as Renderer.render's retry loop).  ``run_once`` takes
     the packed pipeline and returns (image, overflow).  Grown
     capacities are written back to ``outer`` (the caller's full-frame
     renderer) so later builds — e.g. a ShardedFrameProgram settling
-    capacities — see the converged values, not the pre-growth ones."""
+    capacities — see the converged values, not the pre-growth ones.
+    ``to_host=False`` skips the full-frame host gather (a 4K f32 frame
+    is ~132 MB over a remote link) and returns the device array — the
+    settle path only needs the (…, 4) overflow counters."""
     try:
         for _attempt in range(4):
             packed, _keep_rows = _packed_pipeline(sub, commands)
@@ -182,7 +185,7 @@ def _run_with_growth(sub, commands, run_once, outer=None):
             worst = np.asarray(overflow).reshape(-1, 4).max(axis=0)
             sub._last_binning_worst = worst  # for shrink-to-fit
             if not sub._grow_capacities(worst, limits):
-                return np.asarray(image)
+                return np.asarray(image) if to_host else image
         raise RuntimeError("sharded tile binning capacity did not converge")
     finally:
         if outer is not None:
@@ -255,7 +258,9 @@ class _ShardedProgramBase:
         # the renderer _build reads, or a scene that overflows the
         # defaults could never converge (the r2 advisor finding: growing
         # a throwaway sub-renderer discards the growth).
-        _run_with_growth(self._sub, self._commands, self._run_once)
+        _run_with_growth(
+            self._sub, self._commands, self._run_once, to_host=False
+        )
         # Shrink-to-fit (mirrors renderer.FrameProgram): the settle
         # frame's worst per-band counters size the program's binning
         # buffers at next-pow2(count · 1.5) instead of the renderer's
@@ -263,20 +268,21 @@ class _ShardedProgramBase:
         # _sync's deferred rebuild.
         worst = getattr(self._sub, "_last_binning_worst", None)
         if worst is not None:
-            from ..renderer import _next_pow2
-
-            def fit(count, floor_, ceiling):
-                return min(ceiling, max(floor_, _next_pow2(
-                    int(count * 1.5) + 1
-                )))
+            from ..renderer import FIT_FLOORS, _fit_capacity
 
             sub = self._sub
-            sub.tile_capacity = fit(worst[0], 32, sub.tile_capacity)
-            sub._global_capacity = fit(worst[1], 64, sub._global_capacity)
-            sub._tile_global_capacity = fit(
-                worst[2], 16, sub._tile_global_capacity
+            sub.tile_capacity = _fit_capacity(
+                worst[0], FIT_FLOORS[0], sub.tile_capacity
             )
-            sub._clip_pool = fit(worst[3], 16, sub._clip_pool)
+            sub._global_capacity = _fit_capacity(
+                worst[1], FIT_FLOORS[1], sub._global_capacity
+            )
+            sub._tile_global_capacity = _fit_capacity(
+                worst[2], FIT_FLOORS[2], sub._tile_global_capacity
+            )
+            sub._clip_pool = _fit_capacity(
+                worst[3], FIT_FLOORS[3], sub._clip_pool
+            )
         self._pending = []
         self._frame = 0
         self._build()
@@ -324,14 +330,18 @@ class _ShardedProgramBase:
             transforms = np.ascontiguousarray(
                 transforms, np.float32
             ).reshape(-1, 4, 4)
+            # Validate against the PUBLIC (pre-fusion) layout before the
+            # keep_rows gather — a too-long stack would otherwise index
+            # in range and silently render with misattributed rows.
+            expected = sum(c.n_instances for c in self._commands)
+            if transforms.shape[0] != expected:
+                raise ValueError(
+                    f"expected {expected} transform rows (one per "
+                    f"command instance, pre-fusion), got "
+                    f"{transforms.shape[0]}"
+                )
             if self._keep_rows is not None:
                 transforms = transforms[self._keep_rows]
-        if transforms.shape[0] != self._default_transform.shape[0]:
-            raise ValueError(
-                f"expected {self._default_transform.shape[0]} transform "
-                f"rows (one per command instance, pre-fusion), got "
-                f"{transforms.shape[0]}"
-            )
         self._frame += 1
         self._sync()
         image, overflow = self._dispatch(jnp.asarray(transforms))

@@ -646,6 +646,25 @@ def _next_pow2(n: int) -> int:
     return out
 
 
+#: Shrink-to-fit headroom: persistent frame programs size their binning
+#: buffers at next-pow2(settle-frame count × this margin) so small
+#: camera motion doesn't immediately trigger a deferred-growth rebuild.
+FIT_MARGIN = 1.5
+
+#: Shrink-to-fit floors for (tile, global, tile-global, clip-pool)
+#: capacities — below these the dense per-tile blocks are cheap anyway.
+FIT_FLOORS = (32, 64, 16, 16)
+
+
+def _fit_capacity(count: int, floor_: int, ceiling: int) -> int:
+    """Shared shrink-to-fit policy of FrameProgram and the sharded
+    frame programs: next-pow2(count · FIT_MARGIN), floored and clamped
+    to the renderer's (grow-converged) ceiling."""
+    return min(
+        ceiling, max(floor_, _next_pow2(int(count * FIT_MARGIN) + 1))
+    )
+
+
 class Renderer:
     """Executes frames of draw commands on the device
     (replaces reference Renderer, renderer.rs:408-884)."""
@@ -1112,6 +1131,15 @@ class Renderer:
                 None if paint_model is None else paint_model.tobytes(),
             )
             cached = self._prepared_cache.get(pkey)
+            if (
+                cached is not None
+                and self.strict_capacity
+                and "max_tile_entries" not in cached[1]
+            ):
+                # The entry was cached by a non-strict render and lacks
+                # the binning counters a strict caller (FrameProgram's
+                # settle frame sizing shrink-to-fit) needs — recompute.
+                cached = None
             if cached is not None:
                 prepared, self.stats = cached
             else:
@@ -1320,31 +1348,24 @@ class FrameProgram:
         # rebuild below (one recompile, never a wrong frame beyond the
         # OVERFLOW_MAX_LAG under-population window).
         stats = renderer.stats
-        margin = 1.5
-
-        def fit(count, floor_, ceiling):
-            return min(ceiling, max(floor_, _next_pow2(
-                int(count * margin) + 1
-            )))
-
         self._caps = {
-            "capacity": fit(
+            "capacity": _fit_capacity(
                 stats.get("max_tile_entries", renderer.tile_capacity),
-                32, renderer.tile_capacity,
+                FIT_FLOORS[0], renderer.tile_capacity,
             ),
-            "global_capacity": fit(
+            "global_capacity": _fit_capacity(
                 stats.get("global_triangles", renderer._global_capacity),
-                64, renderer._global_capacity,
+                FIT_FLOORS[1], renderer._global_capacity,
             ),
-            "tile_global_capacity": fit(
+            "tile_global_capacity": _fit_capacity(
                 stats.get(
                     "max_tile_globals", renderer._tile_global_capacity
                 ),
-                16, renderer._tile_global_capacity,
+                FIT_FLOORS[2], renderer._tile_global_capacity,
             ),
-            "clip_pool": fit(
+            "clip_pool": _fit_capacity(
                 stats.get("near_plane_crossings", renderer._clip_pool),
-                16, renderer._clip_pool,
+                FIT_FLOORS[3], renderer._clip_pool,
             ),
         }
         self._pending = []
@@ -1499,6 +1520,16 @@ class FrameProgram:
             transforms = np.ascontiguousarray(
                 transforms, np.float32
             ).reshape(-1, 4, 4)
+            # Validate against the PUBLIC (pre-fusion) layout before the
+            # keep_rows gather — a too-long stack would otherwise index
+            # in range and silently render with misattributed rows.
+            expected = sum(c.n_instances for c in self._commands)
+            if transforms.shape[0] != expected:
+                raise ValueError(
+                    f"expected {expected} transform rows (one per "
+                    f"command instance, pre-fusion), got "
+                    f"{transforms.shape[0]}"
+                )
             if self._keep_rows is not None:
                 # Drop the rows of fused-away SAVE covers so the stack
                 # matches the optimized draw layout.
@@ -1556,6 +1587,13 @@ class FrameProgram:
         if transforms.ndim != 4:
             transforms = transforms.reshape(
                 len(transforms), -1, 4, 4
+            )
+        expected = sum(c.n_instances for c in self._commands)
+        if transforms.shape[1] != expected:
+            raise ValueError(
+                f"expected {expected} transform rows per frame (one per "
+                f"command instance, pre-fusion), got "
+                f"{transforms.shape[1]}"
             )
         if self._keep_rows is not None:
             transforms = transforms[:, self._keep_rows]

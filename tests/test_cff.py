@@ -262,3 +262,118 @@ class TestCFFOutlines:
             Face(data.replace(b"CFF ", b"CFF2"))
         with pytest.raises(UnsupportedFontFormat):
             Face(data.replace(b"CFF ", b"XYZ "))
+
+    def test_div_operator_matches_oracle(self):
+        """`div` (12 12) — common in CFF fonts converted from Type 1,
+        where fractional operand values are expressed as quotients; the
+        result must stay on the stack as an operand (TN #5177 §4.4)."""
+        progs = {
+            "H": [0, 0, "rmoveto",
+                  201, 3, "div", 20, "rlineto",
+                  100, 8, "div", 50, "rlineto", "endchar"],
+        }
+        charstrings = {
+            name: T2CharString(program=prog) for name, prog in progs.items()
+        }
+        data = build_otf(charstrings_extra=charstrings)
+        _assert_outlines_match(_our_ops(data, "H"), _oracle_ops(data, "H"))
+
+    def test_arithmetic_and_storage_operators(self):
+        """Direct interpreter test of the Type 2 arithmetic, storage and
+        conditional escape operators (TN #5177 §4.4-4.5)."""
+        from contrast_renderer_tpu.cff import _Type2Interp
+
+        def esc(b1):
+            return bytes((12, b1))
+
+        def num(v):
+            if isinstance(v, float) and v != int(v):
+                import struct as _s
+
+                return b"\xff" + _s.pack(">i", int(round(v * 65536)))
+            v = int(v)
+            assert -32768 <= v <= 32767
+            import struct as _s
+
+            return b"\x1c" + _s.pack(">h", v)
+
+        RLINETO = bytes((5,))
+        RMOVETO = bytes((21,))
+        ENDCHAR = bytes((14,))
+        code = (
+            num(0) + num(0) + RMOVETO
+            # add/sub → line(70, 75)
+            + num(30) + num(40) + esc(10)
+            + num(90) + num(15) + esc(11) + RLINETO
+            # mul/sqrt → line(40, 25)
+            + num(5) + num(8) + esc(24) + num(625) + esc(26) + RLINETO
+            # abs/neg → line(34, -44)
+            + num(-34) + esc(9) + num(44) + esc(14) + RLINETO
+            # dup → line(25, 25)
+            + num(25) + esc(27) + RLINETO
+            # exch → line(9, 7)
+            + num(7) + num(9) + esc(28) + RLINETO
+            # drop → line(5, 6)
+            + num(5) + num(6) + num(99) + esc(18) + RLINETO
+            # put/get → line(33, 12)
+            + num(33) + num(5) + esc(20) + num(5) + esc(21)
+            + num(12) + RLINETO
+            # ifelse (v1 <= v2 → s1) → line(1, 2); (v1 > v2 → s2) kept
+            + num(1) + num(7) + num(3) + num(4) + esc(22)
+            + num(2) + RLINETO
+            + num(8) + num(1) + num(4) + num(3) + esc(22)
+            + num(2) + RLINETO  # line(1, 2) again (s2=1 selected)
+            # and/or/not/eq → line(1, 1), line(0, 1)
+            + num(2) + num(3) + esc(3) + num(0) + num(4) + esc(4)
+            + RLINETO
+            + num(5) + esc(5) + num(6) + num(6) + esc(15) + RLINETO
+            # index (copy 2nd-from-top) → line(77, 88, 77) pairs off:
+            # stack [77, 88, index(1)=77] is odd; use explicit pair
+            + num(77) + num(88) + num(1) + esc(29) + num(99) + RLINETO
+            # roll(3, 1): [a b c] → [c a b]; line pairs (30,10),(20, n)
+            + num(10) + num(20) + num(30) + num(3) + num(1) + esc(30)
+            + num(40) + RLINETO
+            + ENDCHAR
+        )
+        rec = RecBuilder()
+        interp = _Type2Interp([], [], rec)
+        interp.run(code)
+        lines = [a for op, a in rec.ops if op == "lineTo"]
+        deltas = []
+        cur = (0.0, 0.0)
+        for ((x, y),) in lines:
+            deltas.append((x - cur[0], y - cur[1]))
+            cur = (x, y)
+        assert deltas == [
+            (70.0, 75.0),       # add, sub
+            (40.0, 25.0),       # mul, sqrt
+            (34.0, -44.0),      # abs, neg
+            (25.0, 25.0),       # dup
+            (9.0, 7.0),         # exch
+            (5.0, 6.0),         # drop
+            (33.0, 12.0),       # put, get
+            (1.0, 2.0),         # ifelse v1<=v2 → s1
+            (1.0, 2.0),         # ifelse v1>v2 → s2
+            (1.0, 1.0),         # and, or
+            (0.0, 1.0),         # not, eq
+            (77.0, 88.0),       # index leaves [77, 88, 77, 99]
+            (77.0, 99.0),
+            (30.0, 10.0),       # roll: [10 20 30] → [30 10 20]
+            (20.0, 40.0),
+        ]
+
+    def test_bounding_box_floors_negative_minima(self):
+        """The bbox must be a superset of the ink (SAT glyph culling
+        relies on it): fractional negative minima floor, maxima ceil."""
+        progs = {
+            "K": [T2CharString(program=[
+                -21, 2, "div", -37, 10, "div", "rmoveto",  # (-10.5, -3.7)
+                102, 5, "div", 0, "rlineto",               # → (9.9, -3.7)
+                0, 77, 10, "div", "rlineto",               # → (9.9, 4.0)
+                "endchar",
+            ])][0],
+        }
+        data = build_otf(charstrings_extra=progs)
+        face = Face(data)
+        gid = TTFont(io.BytesIO(data)).getGlyphID("K")
+        assert face.glyph_bounding_box(gid) == (-11, -4, 10, 4)

@@ -323,6 +323,10 @@ class TestMultiChip:
         # A stack sized to the optimized layout cannot be gathered.
         with pytest.raises((ValueError, IndexError)):
             program(stack[:-1])
+        # A too-LONG stack must also be rejected: the keep_rows gather
+        # would index in range and silently misattribute rows.
+        with pytest.raises(ValueError):
+            program(np.concatenate([stack, stack[:1]]))
 
     def test_sharded_program_self_heals_on_overflow(self, shape):
         """A scene that outgrows the program's settled binning
