@@ -154,6 +154,21 @@ def main():
                 # The per-frame completion probe rides the frame
                 # dispatch (program carry) — one launch per frame.
                 return program(transforms, carry=acc)
+    elif os.environ.get("BENCH_U8"):
+        # Static camera, kernel-packed RGBA8 resolve (the presentation
+        # format — the reference renders into an 8-bit unorm surface,
+        # application_framework.rs:172-183): keeps the cached-binning
+        # economics of renderer.render (a fused FrameProgram would
+        # re-bin every frame, which a static camera never needs) while
+        # skipping the float de-tile transpose and writing 1/4 the
+        # output bytes.
+        def frame(t, acc):
+            shape.set_dynamic_stroke_options(
+                0, showcase.dashed_options(t * 2.0)
+            )
+            return renderer.render(
+                commands, to_host=False, carry=acc, uint8_kernel=True
+            )
     else:
         def frame(t, acc):
             shape.set_dynamic_stroke_options(
@@ -217,7 +232,7 @@ def main():
         + (f"_seq{seq}" if seq else "")
         + ("_clipalpha" if clip_alpha else "")
         + ("_depth" if depth else "")
-        + ("_u8" if orbit and os.environ.get("BENCH_U8") else "")
+        + ("_u8" if os.environ.get("BENCH_U8") else "")
         + ("_instanced" if instanced else "")
         + ("" if with_text else "_notext")
     )

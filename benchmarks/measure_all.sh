@@ -11,8 +11,12 @@ run() {
 : > "$LOG"
 # Preflight: pay the tunnel-recovery retry window ONCE for the whole
 # sweep (each bench.py would otherwise retry for 10 min on its own).
+# The timeout must exceed the worst-case probe sequence: an initial
+# ~150 s probe + the 480 s retry window whose LAST probe may itself
+# run ~150 s — killing the probe mid-flight would misclassify a
+# late-recovering tunnel as dead and CPU-fallback the whole sweep.
 echo "== preflight probe" | tee -a "$LOG"
-if timeout 650 python - <<'EOF' 2>>"$LOG"
+if timeout 800 python - <<'EOF' 2>>"$LOG"
 from contrast_renderer_tpu.utils.backend import ensure_live_backend
 import sys
 sys.exit(1 if ensure_live_backend(
@@ -35,6 +39,8 @@ run BENCH_SIZE=3840x2160 BENCH_ORBIT=1 BENCH_SEQ=8 python bench.py
 run BENCH_SIZE=3840x2160 BENCH_INSTANCED=1 python bench.py
 run BENCH_SIZE=3840x2160 BENCH_CLIP=1 python bench.py
 run BENCH_SIZE=3840x2160 BENCH_CLIP=1 BENCH_INSTANCED=1 python bench.py
+run BENCH_SIZE=3840x2160 BENCH_CLIP=1 BENCH_INSTANCED=1 BENCH_U8=1 python bench.py
+run BENCH_SIZE=3840x2160 BENCH_U8=1 python bench.py
 run BENCH_SIZE=3840x2160 BENCH_DEPTH=1 python bench.py
 run BENCH_SIZE=3840x2160 BENCH_ORBIT=1 BENCH_U8=1 python bench.py
 run BENCH_SIZE=3840x2160 BENCH_ORBIT=1 BENCH_U8=1 BENCH_SEQ=8 python bench.py

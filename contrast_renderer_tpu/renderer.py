@@ -907,7 +907,10 @@ class Renderer:
 
             def step(carry, prepared, cmd_i, cmd_f, desc_f, desc_i):
                 image = rasterize(prepared, cmd_i, cmd_f, desc_f, desc_i)
-                return image, carry + jnp.sum(image[..., 3])
+                probe = image[..., 3]
+                if probe.dtype != jnp.float32:  # packed-uint8 output
+                    probe = probe.astype(jnp.float32)
+                return image, carry + jnp.sum(probe)
 
             fn = jax.jit(step)
             self._executors_carry[spec] = fn
@@ -1065,10 +1068,19 @@ class Renderer:
         as_uint8: bool = False,
         srgb: bool = False,
         carry=None,
+        uint8_kernel: bool = False,
     ):
         """Render a frame; returns (H, W, 4) premultiplied RGBA float32
         (or uint8 with ``as_uint8=True`` — quantized on device, cutting
         the host transfer 4×).
+
+        ``uint8_kernel=True`` resolves to packed RGBA8 INSIDE the
+        raster kernel (the presentation path, bit-identical to
+        quantizing the float output) while keeping the cached-binning
+        economics of this method — the fast path for a static camera
+        presenting 8-bit frames.  Binning results are shared with the
+        float path; ``background``/``srgb`` are not supported in this
+        mode (quantization already happened in the kernel).
 
         The compiled program is cached by the frame's static signature
         (command structure, padded table sizes); the binning stage is
@@ -1123,9 +1135,21 @@ class Renderer:
         # and gap animation stay runtime inputs of the raster stage.
         desc_static = np.ascontiguousarray(desc_i[:, [9, 8]])
 
+        if uint8_kernel and (background is not None or srgb):
+            raise ValueError(
+                "uint8_kernel does not compose with background/srgb"
+            )
         for _attempt in range(4):
             spec = self._spec(ops, cmd_shape, cmd_inst, scene, paints)
             prepare, rasterize = self._get_executors(spec)
+            # The binning stage (and its cache) is shared between the
+            # float and packed-u8 output modes; only the raster stage
+            # compiles per mode (jit wrapping is lazy).
+            raster_spec = (
+                replace(spec, out_uint8=True) if uint8_kernel else spec
+            )
+            if uint8_kernel:
+                rasterize = self._get_executors(raster_spec)[1]
             pkey = (
                 spec, scene_key, transforms.tobytes(), desc_static.tobytes(),
                 None if paint_model is None else paint_model.tobytes(),
@@ -1207,10 +1231,13 @@ class Renderer:
             self._dev_cached("desc_i", desc_i),
         )
         if carry is not None:
-            return self._get_rasterize_carry(spec)(
+            return self._get_rasterize_carry(raster_spec)(
                 jnp.asarray(carry, jnp.float32), *runtime_args
             )
         image = rasterize(*runtime_args)
+        if uint8_kernel:
+            # Already packed RGBA8 in the kernel; nothing left to do.
+            return image if not to_host else np.asarray(image)
         if as_uint8:
             if srgb:
                 # Rendering/blending stay linear (the reference

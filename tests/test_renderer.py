@@ -954,6 +954,38 @@ class TestCarryProbe:
             float(acc), got2[..., 3].astype(np.float64).sum(), rtol=1e-5
         )
 
+    def test_render_uint8_kernel_matches_quantized_float(self):
+        """Renderer.render(uint8_kernel=True): packed RGBA8 resolve in
+        the kernel with the cached-binning path (the static-camera
+        presentation route) — bit-identical to quantizing the float
+        render; shares the prepared (binning) cache with the float
+        path; composes with the carry probe; rejects background."""
+        from contrast_renderer_tpu.models import showcase
+
+        size = 64
+        r = Renderer(Configuration(), size, size)
+        shape = showcase.build_shape(with_text=False)
+        commands = showcase.showcase_commands(shape, size, size)[:4]
+        flt = r.render(commands)
+        n_prepared = len(r._prepared_cache)
+        got = r.render(commands, uint8_kernel=True)
+        # Binning was reused, not recomputed under a different key.
+        assert len(r._prepared_cache) == n_prepared
+        want = (np.clip(flt, 0, 1) * 255.0 + 0.5).astype(np.uint8)
+        assert got.dtype == np.uint8 and np.array_equal(got, want)
+        img, acc = r.render(
+            commands, to_host=False, carry=0.0, uint8_kernel=True
+        )
+        img = np.asarray(img)
+        assert img.dtype == np.uint8 and np.array_equal(img, want)
+        assert np.isclose(
+            float(acc), want[..., 3].astype(np.float64).sum(), rtol=1e-5
+        )
+        with pytest.raises(ValueError):
+            r.render(
+                commands, uint8_kernel=True, background=np.zeros(4)
+            )
+
 
 class TestSaveScaleFusion:
     """SaveAlphaContext + ScaleAlphaContext over the identical cover
