@@ -202,13 +202,24 @@ def normalize_implicit_curve_side(
 
     Returns True if a flip happened (planes/weights mutated in place).
     """
-    tangent = rational_cubic_first_order_derivative(power_basis, anchor_t)
-    point = rational_cubic_point(power_basis, anchor_t)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        xy = point[1:] / point[0]
-    channels = planes[:, 0] + planes[:, 1] * xy[0] + planes[:, 2] * xy[1]
-    gradient = implicit_curve_gradient(planes, channels)
-    alignment = ga2d.inner_ll(tangent, gradient)
+    # The anchor can be degenerate (point at infinity when the rational
+    # weight vanishes at anchor_t, or a zero gradient at a cusp), which
+    # would make `alignment` NaN and silently skip the flip; probe a few
+    # parameters until one yields a finite, nonzero alignment.
+    alignment = 0.0
+    for t in (anchor_t, 0.5, 0.25, 0.75, 0.125):
+        tangent = rational_cubic_first_order_derivative(power_basis, t)
+        point = rational_cubic_point(power_basis, t)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xy = point[1:] / point[0]
+            channels = (
+                planes[:, 0] + planes[:, 1] * xy[0] + planes[:, 2] * xy[1]
+            )
+            gradient = implicit_curve_gradient(planes, channels)
+            candidate = float(ga2d.inner_ll(tangent, gradient))
+        if np.isfinite(candidate) and candidate != 0.0:
+            alignment = candidate
+            break
     if alignment * (path_orientation if path_orientation != 0.0 else 1.0) > 0.0:
         planes *= -1.0
         weight_matrix[:, 0] *= -1.0

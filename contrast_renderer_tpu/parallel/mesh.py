@@ -261,12 +261,26 @@ class _ShardedProgramBase:
         _run_with_growth(
             self._sub, self._commands, self._run_once, to_host=False
         )
+        worst = getattr(self._sub, "_last_binning_worst", None)
+        # Second settle probe at a rotated orientation: axis-aligned
+        # scenes bin optimistically (trivial-accept lists no per-tile
+        # entries for fully covered tiles), so the natural frame alone
+        # under-sizes a program that will see camera motion (see
+        # renderer._rotated_probe_commands).
+        from ..renderer import _rotated_probe_commands
+
+        _run_with_growth(
+            self._sub, _rotated_probe_commands(self._commands),
+            self._run_once, to_host=False,
+        )
+        probe = getattr(self._sub, "_last_binning_worst", None)
+        if worst is not None and probe is not None:
+            worst = np.maximum(worst, probe)
         # Shrink-to-fit (mirrors renderer.FrameProgram): the settle
-        # frame's worst per-band counters size the program's binning
+        # frames' worst per-band counters size the program's binning
         # buffers at next-pow2(count · 1.5) instead of the renderer's
         # worst-case defaults; overflow past them regrows through
         # _sync's deferred rebuild.
-        worst = getattr(self._sub, "_last_binning_worst", None)
         if worst is not None:
             from ..renderer import FIT_FLOORS, _fit_capacity
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 import enum
 import hashlib
 import logging
+import math
 from dataclasses import dataclass, replace
 from typing import List, Sequence, Tuple
 
@@ -665,6 +666,47 @@ def _fit_capacity(count: int, floor_: int, ceiling: int) -> int:
     )
 
 
+#: In-plane rotation (radians) of the capacity-settling probe frame:
+#: 45° maximally misaligns the scene with the tile grid.
+SETTLE_PROBE_ANGLE = math.pi / 4
+
+
+def _rotated_probe_commands(commands):
+    """A copy of ``commands`` with every transform pre-rotated in clip
+    space, used as a SECOND capacity-settling frame.
+
+    An axis-aligned scene bins optimistically: tiles fully covered by a
+    rect go through the trivial-accept bulk-winding path and list NO
+    per-tile entries, so the settle frame's ``max_tile_entries`` badly
+    under-predicts what camera motion will need (measured on the
+    text-free showcase at 96²: natural frame 4 entries, y-axis orbit at
+    0.15 rad 70, in-plane 45° 66).  Settling takes the worst counters
+    of the natural frame AND this rotated probe so a persistent frame
+    program sized by shrink-to-fit survives camera motion without
+    tripping the deferred-growth rebuild (and its transiently
+    under-populated frames) on the first orbit frame.  Motions the
+    probe cannot anticipate (e.g. an extreme zoom-out concentrating the
+    whole scene into one tile) still regrow through the deferred
+    rebuild."""
+    c = math.cos(SETTLE_PROBE_ANGLE)
+    s = math.sin(SETTLE_PROBE_ANGLE)
+    rot = np.array(
+        [[c, -s, 0.0, 0.0],
+         [s, c, 0.0, 0.0],
+         [0.0, 0.0, 1.0, 0.0],
+         [0.0, 0.0, 0.0, 1.0]],
+        np.float32,
+    )
+    out = []
+    for cmd in commands:
+        t = np.asarray(cmd.transform, np.float32)
+        rt = rot @ t if t.ndim == 2 else np.einsum(
+            "ij,njk->nik", rot, t
+        )
+        out.append(replace(cmd, transform=rt))
+    return out
+
+
 class Renderer:
     """Executes frames of draw commands on the device
     (replaces reference Renderer, renderer.rs:408-884)."""
@@ -1075,10 +1117,12 @@ class Renderer:
         the host transfer 4×).
 
         ``uint8_kernel=True`` resolves to packed RGBA8 INSIDE the
-        raster kernel (the presentation path, bit-identical to
-        quantizing the float output) while keeping the cached-binning
-        economics of this method — the fast path for a static camera
-        presenting 8-bit frames.  Binning results are shared with the
+        raster kernel (the presentation path — the reference renders
+        into an 8-bit unorm swapchain surface,
+        application_framework.rs:172-183 — bit-identical to quantizing
+        the float output) while keeping the cached-binning economics of
+        this method — the fast path for a static camera presenting
+        8-bit frames.  Binning results are shared with the
         float path; ``background``/``srgb`` are not supported in this
         mode (quantization already happened in the kernel).
 
@@ -1356,12 +1400,30 @@ class FrameProgram:
         self._paint_model = Renderer._pack_paints(opt)
         inst = tuple(c.n_instances for c in opt)
         self._cmd_inst = inst if any(n != 1 for n in inst) else ()
-        # Settle binning capacities with one strict prepare so the
-        # compiled program starts at converged sizes.
+        # Settle binning capacities with strict prepares so the
+        # compiled program starts at converged sizes.  Two probe
+        # orientations: the natural frame under-counts per-tile entries
+        # for axis-aligned scenes (trivial-accept bulk winding lists no
+        # entries for fully covered tiles), so a rotated probe frame
+        # contributes the worst counters camera motion will approach
+        # (see _rotated_probe_commands).
         was_strict = renderer.strict_capacity
         renderer.strict_capacity = True
         try:
             renderer.render(self._commands, to_host=False)
+            settle_stats = dict(renderer.stats)
+            renderer.render(
+                _rotated_probe_commands(self._commands), to_host=False
+            )
+            for key in (
+                "max_tile_entries", "global_triangles",
+                "max_tile_globals", "near_plane_crossings",
+            ):
+                if key in renderer.stats:
+                    settle_stats[key] = max(
+                        settle_stats.get(key, 0), renderer.stats[key]
+                    )
+            renderer.stats = settle_stats
         finally:
             renderer.strict_capacity = was_strict
         # Shrink-to-fit: the settle frame's counters say what the scene

@@ -904,6 +904,10 @@ class TestCarryProbe:
         shape = showcase.build_shape(with_text=False)
         commands = showcase.showcase_commands(shape, size, size)[:4]
         program = r.compile_frame(commands)
+        # The NATURAL frame's demand (compile_frame leaves the
+        # probe-maxed settle stats on the renderer; the rebuild below
+        # only ever sees the natural frame's overflow counters).
+        r.render(commands, to_host=False)
         demand = r.stats["max_tile_entries"]
         assert demand > 1, "scene too sparse to exercise overflow"
         want = np.asarray(program())
