@@ -20,22 +20,27 @@ import numpy as np  # noqa: E402
 def _timed_frames(frame, n):
     """Device-side frame throughput: frames dispatched back-to-back and
     every frame forced to completion through a per-frame device
-    checksum fetched once at the end (see bench.py — on asynchronous
-    remote backends a bare block_until_ready can under-report; host
-    readback of f32 frames over the remote-TPU link is not part of a
-    frame)."""
-    import jax
+    checksum fetched once at the end (on asynchronous remote backends a
+    bare block_until_ready can under-report; host readback of f32
+    frames over the remote-TPU link is not part of a frame).
+
+    ``frame(i, acc)`` must return ``(image, acc + sum(image[..., 3]))``
+    with the checksum computed INSIDE the frame's own dispatch
+    (``carry=`` on Renderer.render / FrameProgram.__call__) — the same
+    single-launch forcing bench.py uses; a separate probe program costs
+    two extra round trips per frame over a remote link and was measured
+    at ~1.6 ms/frame of pure harness overhead."""
     import jax.numpy as jnp
 
-    probe = jax.jit(lambda x: jnp.sum(x[..., 3]))
-    acc = probe(frame(0)) + probe(frame(1))  # compile frame + probe
-    float(acc)
+    _, acc = frame(0, jnp.float32(0.0))
+    _, acc = frame(1, acc)
+    float(acc)  # compile frame (+ fused probe)
     best = 0.0
     for b in range(3):  # best sustained batch (see bench.py)
         start = time.perf_counter()
         acc = jnp.float32(0.0)
         for i in range(n):
-            acc = acc + probe(frame(b * n + i + 1))
+            _, acc = frame(b * n + i + 1, acc)
         assert np.isfinite(float(acc))  # forces the whole chain
         best = max(best, n / (time.perf_counter() - start))
     return best
@@ -126,8 +131,8 @@ def config2(frames):
         ),
     ]
 
-    def frame(i):
-        return renderer.render(commands, to_host=False)
+    def frame(i, acc):
+        return renderer.render(commands, to_host=False, carry=acc)
 
     fps = _timed_frames(frame, frames)
     emit(
@@ -191,10 +196,10 @@ def config3(frames):
         DrawCommand(RenderOperation.COLOR, shape, t, color=(1, 1, 1, 1)),
     ]
 
-    def frame(i):
+    def frame(i, acc):
         for g, join in enumerate(joins):
             shape.set_dynamic_stroke_options(g, dashed(join, i * 0.3))
-        return renderer.render(commands, to_host=False)
+        return renderer.render(commands, to_host=False, carry=acc)
 
     fps = _timed_frames(frame, frames)
     emit(
@@ -262,8 +267,8 @@ def config4(frames):
         DrawCommand(RenderOperation.COLOR, shape, t, color=(1, 1, 1, 1)),
     ]
 
-    def frame(i):
-        return renderer.render(commands, to_host=False)
+    def frame(i, acc):
+        return renderer.render(commands, to_host=False, carry=acc)
 
     fps = _timed_frames(frame, frames)
     emit(
@@ -293,11 +298,11 @@ def config5(frames):
     shape = showcase.build_shape(with_text=True)
     commands = showcase.showcase_commands(shape, width, height)
 
-    def frame(i):
+    def frame(i, acc):
         shape.set_dynamic_stroke_options(
             0, showcase.dashed_options(i * 0.032)
         )
-        return renderer.render(commands, to_host=False)
+        return renderer.render(commands, to_host=False, carry=acc)
 
     fps = _timed_frames(frame, frames)
     emit(
@@ -320,11 +325,11 @@ def config5(frames):
         shape, width, height
     )
 
-    def frame_ca(i):
+    def frame_ca(i, acc):
         shape.set_dynamic_stroke_options(
             0, showcase.dashed_options(i * 0.032)
         )
-        return renderer_ca.render(commands_ca, to_host=False)
+        return renderer_ca.render(commands_ca, to_host=False, carry=acc)
 
     fps = _timed_frames(frame_ca, frames)
     emit(
@@ -355,7 +360,7 @@ def config5_orbit(frames, width, height, label):
     commands = showcase.showcase_commands(shape, width, height)
     program = renderer.compile_frame(commands)
 
-    def frame_fn(i):
+    def frame_fn(i, acc):
         angle = 0.05 * i
         rotor = np.array(
             [math.cos(angle / 2), 0.0, math.sin(angle / 2), 0.0]
@@ -366,7 +371,7 @@ def config5_orbit(frames, width, height, label):
         shape.set_dynamic_stroke_options(
             0, showcase.dashed_options(i * 0.032)
         )
-        return program(transforms)
+        return program(transforms, carry=acc)
 
     fps = _timed_frames(frame_fn, frames)
     emit(
