@@ -1,0 +1,102 @@
+"""Sweep tile_h / fill_batch on the 10k-glyph scene (config 4).
+
+Round-3: 54.0 FPS at 1080p (296k triangles) with the auto-tuned
+(tile 8, batch 32).  This measures neighbouring points so the dense-text
+default is picked from numbers, not carried assumptions.
+
+Usage: python benchmarks/profile_glyphs.py [--frames N]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np  # noqa: E402
+
+
+def timed(frame, n):
+    import jax.numpy as jnp
+
+    _, acc = frame(0, jnp.float32(0.0))
+    _, acc = frame(1, acc)
+    float(acc)
+    best = 0.0
+    for b in range(3):
+        start = time.perf_counter()
+        acc = jnp.float32(0.0)
+        for i in range(n):
+            _, acc = frame(b * n + i + 1, acc)
+        assert np.isfinite(float(acc))
+        best = max(best, n / (time.perf_counter() - start))
+    return best
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--frames", type=int, default=16)
+    parser.add_argument("--variants", default="8x32,8x64,8x128,16x32,16x64")
+    args = parser.parse_args()
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.expanduser("~/.cache/jax_cache_bench_configs"),
+    )
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+    from contrast_renderer_tpu.assets import load_default_font
+    from contrast_renderer_tpu.renderer import (
+        Configuration, DrawCommand, RenderOperation, Renderer)
+    from contrast_renderer_tpu.text import (
+        Alignment, Layout, Orientation, shape_of_text)
+
+    width, height = 1920, 1080
+    font = load_default_font()
+    layout = Layout(
+        size=16.0,
+        orientation=Orientation.LEFT_TO_RIGHT,
+        major_alignment=Alignment.BEGIN,
+        minor_alignment=Alignment.BEGIN,
+    )
+    text = "\n".join(
+        "the quick brown fox jumps over the lazy dog 0123456789 " * 2
+        for _ in range(112)
+    )
+    n_glyphs = sum(1 for ch in text if not ch.isspace())
+    shape = shape_of_text(font.face, layout, text)
+
+    t = np.diag([2.0 / 1800.0, 2.0 / 1500.0, 1.0, 1.0]).astype(np.float32)
+    t[0, 3] = -1.0
+    t[1, 3] = 0.95
+    commands = [
+        DrawCommand(RenderOperation.STENCIL, shape, t),
+        DrawCommand(RenderOperation.COLOR, shape, t, color=(1, 1, 1, 1)),
+    ]
+    for variant in args.variants.split(","):
+        tile_h, nb = (int(x) for x in variant.split("x"))
+        renderer = Renderer(
+            Configuration(), width, height, tile_size=tile_h, fill_batch=nb
+        )
+
+        def frame(i, acc):
+            return renderer.render(commands, to_host=False, carry=acc)
+
+        fps = timed(frame, args.frames)
+        print(json.dumps({
+            "metric": "glyphs_1080p",
+            "tile_h": tile_h,
+            "fill_batch": nb,
+            "value": round(fps, 2),
+            "unit": "frames/s",
+            "glyphs_per_s": round(fps * n_glyphs),
+            "stats": {
+                k: v for k, v in renderer.stats.items()
+                if k in ("max_tile_entries", "tiles")
+            },
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -227,7 +227,14 @@ class CFFTable:
             else self.lsubrs
         )
         interp = _Type2Interp(self.gsubrs, lsubrs, builder)
-        interp.run(code)
+        try:
+            interp.run(code)
+        except (IndexError, struct.error, ZeroDivisionError):
+            # Malformed/hostile charstring (operand-stack underflow,
+            # truncated operand bytes, …): fail the glyph gracefully —
+            # ttf-parser's permissive model — instead of crashing text
+            # layout.  Callers treat False as an empty glyph.
+            return False
         return interp.any_path
 
     def bounding_box(self, glyph_id: int):

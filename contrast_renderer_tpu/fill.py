@@ -205,9 +205,26 @@ def normalize_implicit_curve_side(
     # The anchor can be degenerate (point at infinity when the rational
     # weight vanishes at anchor_t, or a zero gradient at a cusp), which
     # would make `alignment` NaN and silently skip the flip; probe a few
-    # parameters until one yields a finite, nonzero alignment.
+    # parameters until one yields a finite, nonzero alignment.  A second
+    # degeneracy source: a numerically near-linear cubic at the
+    # Loop-Blinn classification boundary gives ±inf/NaN weight PLANES
+    # (config-2 corpus path #167, pinned by
+    # test_fill.TestDegenerateCubic) — then every probe is NaN, the
+    # errstate block below masks the arithmetic, and the no-flip
+    # fallback stands (the curve has ~1e-6 curvature; either side is
+    # sub-sample).  Fallback
+    # probes stay in a shrinking neighborhood of anchor_t (clamped to
+    # [0, 1]) rather than at fixed global parameters: an unsplit cubic
+    # whose domain crosses a cusp/double point changes tangent-gradient
+    # sign across it, so a far-away probe could land on the wrong
+    # segment of the curve.
     alignment = 0.0
-    for t in (anchor_t, 0.5, 0.25, 0.75, 0.125):
+    probes = (anchor_t,) + tuple(
+        min(1.0, max(0.0, anchor_t + sign * eps))
+        for eps in (0.25, 0.125, 0.0625)
+        for sign in (1.0, -1.0)
+    )
+    for t in probes:
         tangent = rational_cubic_first_order_derivative(power_basis, t)
         point = rational_cubic_point(power_basis, t)
         with np.errstate(divide="ignore", invalid="ignore"):

@@ -1411,7 +1411,8 @@ class FrameProgram:
         renderer.strict_capacity = True
         try:
             renderer.render(self._commands, to_host=False)
-            settle_stats = dict(renderer.stats)
+            natural_stats = dict(renderer.stats)
+            merged_stats = dict(natural_stats)
             renderer.render(
                 _rotated_probe_commands(self._commands), to_host=False
             )
@@ -1420,12 +1421,20 @@ class FrameProgram:
                 "max_tile_globals", "near_plane_crossings",
             ):
                 if key in renderer.stats:
-                    settle_stats[key] = max(
-                        settle_stats.get(key, 0), renderer.stats[key]
+                    merged_stats[key] = max(
+                        merged_stats.get(key, 0), renderer.stats[key]
                     )
-            renderer.stats = settle_stats
+            # The merged counters size this program's capacities below;
+            # the renderer's public stats go back to the natural frame's
+            # (code reading stats after compile_frame must not see
+            # probe-inflated counters no real frame produced).  Note the
+            # rotated probe may still have grown the renderer's own
+            # capacity ceilings — intentional, so a future program
+            # settles at sizes that survive camera motion.
+            renderer.stats = natural_stats
         finally:
             renderer.strict_capacity = was_strict
+        stats = merged_stats
         # Shrink-to-fit: the settle frame's counters say what the scene
         # actually uses; the renderer's defaults (sized for arbitrary
         # scenes) can be several times larger.  Oversized capacities
@@ -1436,7 +1445,6 @@ class FrameProgram:
         # that exceeds them regrows through the deferred-overflow
         # rebuild below (one recompile, never a wrong frame beyond the
         # OVERFLOW_MAX_LAG under-population window).
-        stats = renderer.stats
         self._caps = {
             "capacity": _fit_capacity(
                 stats.get("max_tile_entries", renderer.tile_capacity),

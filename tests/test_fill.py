@@ -192,6 +192,42 @@ class TestCubics:
         check_fill([p])
 
 
+class TestDegenerateCubic:
+    @pytest.mark.parametrize("orient", ["forward", "reverse"])
+    def test_near_linear_cubic_infinite_planes(self, orient):
+        """Regression: BASELINE config-2 corpus path #167 (rng seed 0).
+
+        A numerically near-linear cubic whose Loop-Blinn implicit
+        weights land at the classification boundary: weight_planes
+        returns ±inf/NaN rows, so the side-normalization decision
+        variable is NaN for every probe.  The build must stay
+        warning-clean (the NaN arithmetic is explicitly masked in
+        normalize_implicit_curve_side), keep the no-flip fallback, and
+        emit finite tables — the r06 sweep's un-silenced
+        "invalid value encountered in add" came from this curve."""
+        import warnings
+
+        p = Path(start=(402.6970202792566, 413.9183782437625))
+        p.push_integral_cubic_curve(
+            IntegralCubicCurveSegment([
+                (417.58446498, 413.78440366),
+                (416.41297074, 419.16903586),
+                (404.24044664, 408.67806945),
+            ])
+        )
+        p.push_line(LineSegment([(402.6970202792566, 413.9183782437625)]))
+        if orient == "reverse":
+            p.reverse()
+        builder = FillBuilder()
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)
+            builder.add_path([], p)
+            table = builder.build()
+        assert len(table) > 0
+        assert np.all(np.isfinite(table.xy))
+        assert np.all(np.isfinite(table.aux))
+
+
 class TestRoundedRect:
     @pytest.mark.parametrize("orient", ["forward", "reverse"])
     def test_rounded_rect(self, orient):
