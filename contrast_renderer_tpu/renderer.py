@@ -28,7 +28,7 @@ import hashlib
 import logging
 import math
 from dataclasses import dataclass, replace
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 logger = logging.getLogger("contrast_renderer_tpu")
 
@@ -599,6 +599,194 @@ def _optimize_commands(commands):
     return out, keep_rows
 
 
+#: Minimum clip-space w for every hull point before a cover's screen
+#: box is considered well-defined (near-plane crossers never fuse).
+_FUSE_W_EPS = 1e-6
+
+
+def _cover_box(shape: "Shape", transform) -> Optional[Tuple[float, ...]]:
+    """Screen-space AABB of a command's cover region (the decimated
+    outer hull polygon projected by the command transform), or None
+    when the projection is not well-defined (near-plane crossing /
+    non-finite).  Triangular geometry and the per-sample cover mask are
+    both contained in the hull polygon, so containment survives the
+    projective map while every w stays positive."""
+    hull = shape.convex_hull
+    if len(hull) == 0:
+        return None
+    t = np.asarray(transform, np.float64)
+    if t.ndim != 2:
+        return None
+    ones = np.ones((len(hull), 1))
+    clip = np.concatenate(
+        [hull, np.zeros((len(hull), 1)), ones], axis=1
+    ) @ t.T
+    w = clip[:, 3]
+    if not np.all(w > _FUSE_W_EPS):
+        return None
+    ndc = clip[:, :2] / w[:, None]
+    if not np.all(np.isfinite(ndc)):
+        return None
+    return (
+        float(ndc[:, 0].min()), float(ndc[:, 1].min()),
+        float(ndc[:, 0].max()), float(ndc[:, 1].max()),
+    )
+
+
+def _boxes_disjoint(a, b) -> bool:
+    # Closed-box test: touching boxes count as overlapping (a shared
+    # boundary could in principle carry the same sample point).
+    return (
+        a[2] < b[0] or b[2] < a[0] or a[3] < b[1] or b[3] < a[1]
+    )
+
+
+def _solid_rgba(color) -> Optional[Tuple[float, ...]]:
+    if _paint_kind(color):
+        return None
+    arr = np.asarray(color, np.float32).reshape(-1)
+    return tuple(float(x) for x in arr) if arr.shape == (4,) else None
+
+
+def _fuse_instance_runs(commands):
+    """Auto-instancing: collapse consecutive single-instance
+    (Stencil, Color) pairs over the same shape/clip/alpha state into
+    instanced draws — the reference's ``instance_range 0..n`` draw
+    (renderer.rs:267, 462-466) — wherever that is pixel-exact.
+
+    The per-instance loop and the instanced draw differ only where
+    instance covers interact: the instanced stencil accumulates ALL
+    instances' winding before any cover runs, so a cover that overlaps
+    a later instance's geometry would paint (and reset) winding that
+    the sequential loop had not yet stamped.  Pairs therefore fuse
+    under a greedy disjointness rule: walking the run in order, a pair
+    joins the current group iff its projected cover box is disjoint
+    from every box already in the group; otherwise it starts a new
+    group.  Groups emit in walk order, covers replay in instance
+    order, and all cross-group/cross-command interactions (blending,
+    clip, depth, bulk winding) happen exactly where the sequential
+    walk had them — the grouping changes per-tile walk length, not
+    pixels.  Pairs whose projection is not well-defined (near-plane
+    crossing) never fuse.
+
+    Per-instance solid colors stack into the command's (N, 4) color;
+    gradient paints fuse only when every pair shares the identical
+    Paint object (its model-space endpoints broadcast per instance).
+
+    Applied by ``Renderer.render`` per call with the current
+    transforms, so the decision is always sound for the frame being
+    rendered.  ``FrameProgram`` does NOT auto-fuse: its transforms are
+    runtime inputs, and a grouping proven disjoint at build time could
+    overlap under camera motion.
+    """
+    n = len(commands)
+
+    def pair_at(i):
+        if i + 1 >= n:
+            return None
+        c, s = commands[i], commands[i + 1]
+        if (
+            c.operation == RenderOperation.STENCIL
+            and s.operation == RenderOperation.COLOR
+            and c.shape is s.shape
+            and c.n_instances == 1
+            and s.n_instances == 1
+            and c.clip_depth == s.clip_depth
+            and c.alpha_layer == s.alpha_layer
+            and np.array_equal(
+                np.asarray(c.transform, np.float32),
+                np.asarray(s.transform, np.float32),
+            )
+        ):
+            return (c, s)
+        return None
+
+    out = []
+    i = 0
+    fused_any = False
+    while i < n:
+        first = pair_at(i)
+        if first is None:
+            out.append(commands[i])
+            i += 1
+            continue
+        # Collect the maximal run of fusable pairs with the same key.
+        key_shape = first[0].shape
+        key_clip = first[0].clip_depth
+        key_layer = first[0].alpha_layer
+        first_solid = _solid_rgba(first[1].color)
+        run = []
+        while i + 1 < n:
+            pair = pair_at(i)
+            if pair is None or pair[0].shape is not key_shape:
+                break
+            if (
+                pair[0].clip_depth != key_clip
+                or pair[0].alpha_layer != key_layer
+            ):
+                break
+            solid = _solid_rgba(pair[1].color)
+            if (first_solid is None) != (solid is None):
+                break
+            if solid is None and pair[1].color is not first[1].color:
+                break
+            run.append(pair)
+            i += 2
+        if len(run) < 2:
+            out.extend(run[0] if run else (commands[i],))
+            if not run:
+                i += 1
+            continue
+        # Greedy disjoint grouping in walk order.
+        boxes = [_cover_box(p[0].shape, p[0].transform) for p in run]
+        groups = []
+        current = []
+        current_boxes = []
+        for pair, box in zip(run, boxes):
+            if box is not None and all(
+                _boxes_disjoint(box, b) for b in current_boxes
+            ):
+                current.append(pair)
+                current_boxes.append(box)
+            else:
+                if current:
+                    groups.append(current)
+                current = [pair]
+                # A boxless (near-plane) pair may never accept
+                # neighbours: poison its group with an everything-box.
+                current_boxes = [
+                    box if box is not None
+                    else (-np.inf, -np.inf, np.inf, np.inf)
+                ]
+        if current:
+            groups.append(current)
+        for group in groups:
+            if len(group) == 1:
+                out.extend(group[0])
+                continue
+            fused_any = True
+            transforms = np.ascontiguousarray(
+                np.stack([
+                    np.asarray(p[0].transform, np.float32)
+                    for p in group
+                ])
+            )
+            if _paint_kind(group[0][1].color):
+                color = group[0][1].color
+            else:
+                color = np.ascontiguousarray(
+                    np.stack([
+                        np.asarray(p[1].color, np.float32).reshape(4)
+                        for p in group
+                    ])
+                )
+            out.append(replace(group[0][0], transform=transforms))
+            out.append(
+                replace(group[0][1], transform=transforms, color=color)
+            )
+    return out, fused_any
+
+
 class _SceneArrays:
     """Padded, stacked, device-resident geometry for a set of shapes."""
 
@@ -722,6 +910,7 @@ class Renderer:
         strict_capacity: bool = True,
         fill_batch=None,
         stroke_batch: int = 1,
+        auto_instance: bool = True,
     ):
         self.config = config
         self.width = int(width)
@@ -773,6 +962,14 @@ class Renderer:
         #: reference's analogue is its update-in-place buffers
         #: (renderer.rs:63-117).
         self._upload_cache = {}
+        #: Auto-instancing (see _fuse_instance_runs): render() collapses
+        #: consecutive per-instance (Stencil, Color) pairs into
+        #: instanced draws wherever their cover boxes are disjoint —
+        #: pixel-exact, decided per call with the current transforms.
+        #: Disable to force the literal sequential walk (and for
+        #: fused-vs-sequential equality tests).
+        self.auto_instance = bool(auto_instance)
+        self._fuse_cache = {}
         #: Runtime blend-constant color for the ``constant`` /
         #: ``one_minus_constant`` blend factors (wgpu
         #: set_blend_constant; default transparent black as wgpu's).
@@ -1084,6 +1281,39 @@ class Renderer:
             self._upload_cache[key] = dev
         return dev
 
+    def _auto_instanced(self, commands):
+        """Memoized _fuse_instance_runs: the grouping is a pure function
+        of command structure, transforms, and colors, so static frames
+        (the common case) pay one digest instead of re-projecting hulls
+        every call.  The key captures every input the fused output
+        embeds — transform VALUES included, so a camera change re-derives
+        the grouping (always sound for the frame being rendered)."""
+        structure = tuple(
+            (
+                int(c.operation), c.shape._uid, c.shape._geometry_version,
+                c.clip_depth, c.alpha_layer, c.n_instances,
+                # Gradient paints fuse by object identity; their stop
+                # tables/endpoints are re-read from the (shared) object
+                # at pack time, so id() is sufficient here.
+                id(c.color) if _paint_kind(c.color) else None,
+            )
+            for c in commands
+        )
+        blob = hashlib.blake2b(digest_size=16)
+        blob.update(self._pack_transforms(commands))
+        for c in commands:
+            if not _paint_kind(c.color):
+                blob.update(np.asarray(c.color, np.float32).tobytes())
+        key = (structure, blob.digest())
+        hit = self._fuse_cache.get(key)
+        if hit is None:
+            fused, fused_any = _fuse_instance_runs(commands)
+            hit = fused if fused_any else commands
+            if len(self._fuse_cache) >= 8:
+                self._fuse_cache.pop(next(iter(self._fuse_cache)))
+            self._fuse_cache[key] = hit
+        return hit
+
     def _grow_capacities(self, overflow, limits) -> bool:
         grew = False
         if overflow[0] > limits[0]:
@@ -1143,6 +1373,8 @@ class Renderer:
         """
         self._validate(commands)
         commands, _ = _optimize_commands(commands)
+        if self.auto_instance:
+            commands = self._auto_instanced(commands)
         self._frame_index += 1
         if self._pending_overflow:
             # Deferred capacity checks: consume counters whose D2H copy
@@ -1531,13 +1763,30 @@ class FrameProgram:
         self._step_sequence = jax.jit(
             step_sequence, static_argnames=("as_uint8",)
         )
-        # The blend constant (if the state uses one) is sampled at build
-        # time; rebuild the program to change it mid-animation.
+        # cmd_f carries the blend constant (if the state uses one) as a
+        # runtime column; _refresh_cmd_f re-packs it per call when
+        # Renderer.set_blend_constant changed it — wgpu's dynamic
+        # render-pass state (renderer.rs:381 + RenderPass::
+        # set_blend_constant), no retrace (same shapes).
+        self._packed_constant = renderer._blend_constant_arg()
         cmd_i, cmd_f = Renderer._pack_commands_runtime(
-            self._opt_commands, renderer._blend_constant_arg()
+            self._opt_commands, self._packed_constant
         )
         self._cmd_i = jnp.asarray(cmd_i)
         self._cmd_f = jnp.asarray(cmd_f)
+
+    def _refresh_cmd_f(self):
+        """Re-pack cmd_f when the renderer's blend constant changed
+        since the last pack (tiny host-side numpy; the compiled program
+        takes cmd_f as a runtime input, so animating the constant never
+        rebuilds or retraces)."""
+        constant = self._renderer._blend_constant_arg()
+        if constant != self._packed_constant:
+            self._packed_constant = constant
+            _, cmd_f = Renderer._pack_commands_runtime(
+                self._opt_commands, constant
+            )
+            self._cmd_f = jnp.asarray(cmd_f)
 
     #: Frames an unconsumed overflow counter may age before the host
     #: blocks on it.  Overflow only fires when a moving scene outgrows
@@ -1634,6 +1883,7 @@ class FrameProgram:
         require_finite(transforms, "frame transforms")
         self._frame += 1
         self._sync()
+        self._refresh_cmd_f()
         desc_f, desc_i = Renderer._pack_descriptors(self._shapes)
         desc_static = np.ascontiguousarray(desc_i[:, [9, 8]])
         args = (
@@ -1697,6 +1947,7 @@ class FrameProgram:
         require_finite(transforms, "sequence transforms")
         self._frame += len(transforms)
         self._sync()
+        self._refresh_cmd_f()
         desc_f, desc_i = Renderer._pack_descriptors(self._shapes)
         desc_static = np.ascontiguousarray(desc_i[:, [9, 8]])
         frames, overflow = self._step_sequence(

@@ -529,6 +529,38 @@ class TestKernelSpecializations:
         )
         assert len(r._executors) == 1  # constant change never retraces
 
+    def test_blend_constant_animates_through_frame_program(self):
+        """wgpu's set_blend_constant is render-pass *dynamic* state: a
+        compiled FrameProgram must honor per-frame constant updates
+        without a rebuild or retrace (renderer.rs:381 +
+        RenderPass::set_blend_constant)."""
+        from contrast_renderer_tpu.renderer import (
+            BlendComponent,
+            BlendState,
+        )
+
+        state = BlendState(
+            color=BlendComponent("constant", "add", "zero"),
+            alpha=BlendComponent("one", "add", "zero"),
+        )
+        r = Renderer(Configuration(blending=state), SIZE, SIZE)
+        r.set_blend_constant((0.5, 0.25, 1.0, 1.0))
+        shape = Shape([Path.from_circle((32.0, 32.0), 14.0)])
+        commands = stencil_color(shape, ortho(), (1.0, 1.0, 1.0, 0.8))
+        program = r.compile_frame(commands)
+        build_count = len(r._executors)
+        image = np.asarray(program())
+        assert np.allclose(image[32, 32], [0.4, 0.2, 0.8, 0.8], atol=1e-5)
+        for const, want in (
+            ((0.1, 1.0, 0.0, 1.0), [0.08, 0.8, 0.0, 0.8]),
+            ((1.0, 0.0, 0.5, 1.0), [0.8, 0.0, 0.4, 0.8]),
+        ):
+            r.set_blend_constant(const)
+            image = np.asarray(program())
+            assert np.allclose(image[32, 32], want, atol=1e-5)
+        # Animating the constant never rebuilt the program's executors.
+        assert len(r._executors) == build_count
+
     def test_one_minus_constant_blend_factor(self):
         from contrast_renderer_tpu.renderer import (
             BlendComponent,
@@ -1370,3 +1402,101 @@ class TestSrgbOutput:
         # sRGB encoding brightens mid-tones: the red channel (0.2
         # linear) quantizes well above its linear byte value.
         assert device[32, 32, 0] > int(0.2 * 255) + 30
+
+
+class TestAutoInstancing:
+    """render()'s _fuse_instance_runs pass: consecutive per-instance
+    (Stencil, Color) pairs collapse into instanced draws wherever the
+    covers are disjoint on screen — pixel-exact vs the sequential walk
+    (the reference's instance_range draw, renderer.rs:267, 462-466)."""
+
+    def _render_pair(self, commands, config=None):
+        config = config or Configuration()
+        seq = Renderer(config, SIZE, SIZE, auto_instance=False)
+        fused = Renderer(config, SIZE, SIZE, auto_instance=True)
+        return (
+            np.asarray(seq.render(commands)),
+            np.asarray(fused.render(commands)),
+        )
+
+    def test_disjoint_grid_fuses_and_matches(self):
+        from contrast_renderer_tpu.renderer import _fuse_instance_runs
+
+        shape = Shape([Path.from_circle((6.0, 6.0), 5.0)])
+        commands = []
+        for gx in range(4):
+            for gy in range(4):
+                commands += stencil_color(
+                    shape, translate(14.0 * gx, 14.0 * gy),
+                    (0.1 * gx, 0.1 * gy, 0.5, 0.5),
+                )
+        fused, any_fused = _fuse_instance_runs(commands)
+        assert any_fused
+        assert len(fused) == 2 and fused[0].n_instances == 16
+        seq_img, fused_img = self._render_pair(commands)
+        assert np.array_equal(seq_img, fused_img)
+
+    def test_overlapping_pairs_split_groups_exactly(self):
+        """Translucent overlapping instances expose any compositing
+        difference; the greedy grouping must keep overlap-ordered
+        pairs in separate groups and stay bitwise equal."""
+        from contrast_renderer_tpu.renderer import _fuse_instance_runs
+
+        shape = Shape([Path.from_circle((8.0, 8.0), 7.0)])
+        offsets = [
+            (0.0, 0.0),    # A
+            (40.0, 0.0),   # B: disjoint from A  -> joins A's group
+            (6.0, 6.0),    # C: overlaps A       -> new group
+            (40.0, 40.0),  # D: disjoint from C  -> joins C's group
+        ]
+        commands = []
+        for k, (dx, dy) in enumerate(offsets):
+            commands += stencil_color(
+                shape, translate(dx, dy),
+                (1.0 - 0.2 * k, 0.2 * k, 0.3, 0.4),
+            )
+        fused, any_fused = _fuse_instance_runs(commands)
+        assert any_fused
+        assert [c.n_instances for c in fused] == [2, 2, 2, 2]
+        seq_img, fused_img = self._render_pair(commands)
+        assert np.array_equal(seq_img, fused_img)
+
+    def test_showcase_scene_fuses_pixel_exact(self):
+        from contrast_renderer_tpu.models import showcase
+        from contrast_renderer_tpu.renderer import _fuse_instance_runs
+
+        shape = showcase.build_shape(with_text=False)
+        commands = showcase.showcase_commands(shape, SIZE, SIZE)
+        fused, any_fused = _fuse_instance_runs(commands)
+        assert any_fused and len(fused) < len(commands)
+        seq_img, fused_img = self._render_pair(commands)
+        assert np.array_equal(seq_img, fused_img)
+
+    def test_near_plane_crossing_never_fuses(self):
+        from contrast_renderer_tpu.renderer import _fuse_instance_runs
+
+        shape = Shape([Path.from_circle((0.0, 0.0), 1.0)])
+        behind = np.eye(4, dtype=np.float32)
+        behind[3, 2] = -2.0  # projective row: w crosses zero over the hull
+        behind[3, 3] = 0.5
+        commands = (
+            stencil_color(shape, behind, (1, 0, 0, 1))
+            + stencil_color(shape, behind, (0, 1, 0, 1))
+        )
+        fused, any_fused = _fuse_instance_runs(commands)
+        assert not any_fused and len(fused) == 4
+
+    def test_mixed_state_breaks_runs(self):
+        """A clip-depth change (or shape change) ends the fusable run."""
+        from contrast_renderer_tpu.renderer import _fuse_instance_runs
+
+        a = Shape([Path.from_circle((6.0, 6.0), 5.0)])
+        b = Shape([Path.from_rect((6.0, 6.0), (4.0, 4.0))])
+        commands = (
+            stencil_color(a, translate(0, 0), (1, 0, 0, 1))
+            + stencil_color(a, translate(20, 0), (0, 1, 0, 1))
+            + stencil_color(b, translate(40, 0), (0, 0, 1, 1))
+        )
+        fused, any_fused = _fuse_instance_runs(commands)
+        assert any_fused
+        assert [c.n_instances for c in fused] == [2, 2, 1, 1]
