@@ -648,6 +648,72 @@ def _solid_rgba(color) -> Optional[Tuple[float, ...]]:
     return tuple(float(x) for x in arr) if arr.shape == (4,) else None
 
 
+def _fusable_pair(commands, i, check_transforms=True):
+    """The (STENCIL, COLOR) pair at positions ``i``, ``i+1`` if the two
+    commands form a single-instance stencil-then-cover of the same
+    shape under the same clip/alpha state, else None.
+
+    ``check_transforms=False`` defers the stencil==cover transform
+    equality to the caller — FrameProgram detects runs structurally at
+    build time and validates the actual transform rows per call (its
+    transforms are runtime inputs)."""
+    if i + 1 >= len(commands):
+        return None
+    c, s = commands[i], commands[i + 1]
+    if (
+        c.operation == RenderOperation.STENCIL
+        and s.operation == RenderOperation.COLOR
+        and c.shape is s.shape
+        and c.n_instances == 1
+        and s.n_instances == 1
+        and c.clip_depth == s.clip_depth
+        and c.alpha_layer == s.alpha_layer
+        and (
+            not check_transforms
+            or np.array_equal(
+                np.asarray(c.transform, np.float32),
+                np.asarray(s.transform, np.float32),
+            )
+        )
+    ):
+        return (c, s)
+    return None
+
+
+def _collect_fusable_run(commands, i, check_transforms=True):
+    """Collect the maximal run of fusable (STENCIL, COLOR) pairs
+    starting at ``i`` that share shape identity, clip depth, alpha
+    layer, and compatible colors (all solid, or all the identical
+    Paint object).  Returns ``(run, next_i)`` where ``run`` is a list
+    of (stencil, color) tuples ([] when no pair starts at ``i``) and
+    ``next_i`` is the index of the first command after the run."""
+    first = _fusable_pair(commands, i, check_transforms)
+    if first is None:
+        return [], i
+    key_shape = first[0].shape
+    key_clip = first[0].clip_depth
+    key_layer = first[0].alpha_layer
+    first_solid = _solid_rgba(first[1].color)
+    run = []
+    while True:
+        pair = _fusable_pair(commands, i, check_transforms)
+        if pair is None or pair[0].shape is not key_shape:
+            break
+        if (
+            pair[0].clip_depth != key_clip
+            or pair[0].alpha_layer != key_layer
+        ):
+            break
+        solid = _solid_rgba(pair[1].color)
+        if (first_solid is None) != (solid is None):
+            break
+        if solid is None and pair[1].color is not first[1].color:
+            break
+        run.append(pair)
+        i += 2
+    return run, i
+
+
 def _fuse_instance_runs(commands):
     """Auto-instancing: collapse consecutive single-instance
     (Stencil, Color) pairs over the same shape/clip/alpha state into
@@ -675,67 +741,25 @@ def _fuse_instance_runs(commands):
 
     Applied by ``Renderer.render`` per call with the current
     transforms, so the decision is always sound for the frame being
-    rendered.  ``FrameProgram`` does NOT auto-fuse: its transforms are
-    runtime inputs, and a grouping proven disjoint at build time could
-    overlap under camera motion.
+    rendered.  ``FrameProgram`` fuses through the same structural
+    detection but re-validates disjointness at every call with the
+    runtime transform stack, falling back to the sequential program
+    when camera motion brings covers into contact (see
+    FrameProgram._fused_rows_if_valid).
     """
     n = len(commands)
-
-    def pair_at(i):
-        if i + 1 >= n:
-            return None
-        c, s = commands[i], commands[i + 1]
-        if (
-            c.operation == RenderOperation.STENCIL
-            and s.operation == RenderOperation.COLOR
-            and c.shape is s.shape
-            and c.n_instances == 1
-            and s.n_instances == 1
-            and c.clip_depth == s.clip_depth
-            and c.alpha_layer == s.alpha_layer
-            and np.array_equal(
-                np.asarray(c.transform, np.float32),
-                np.asarray(s.transform, np.float32),
-            )
-        ):
-            return (c, s)
-        return None
-
     out = []
     i = 0
     fused_any = False
     while i < n:
-        first = pair_at(i)
-        if first is None:
+        run, next_i = _collect_fusable_run(commands, i)
+        if not run:
             out.append(commands[i])
             i += 1
             continue
-        # Collect the maximal run of fusable pairs with the same key.
-        key_shape = first[0].shape
-        key_clip = first[0].clip_depth
-        key_layer = first[0].alpha_layer
-        first_solid = _solid_rgba(first[1].color)
-        run = []
-        while i + 1 < n:
-            pair = pair_at(i)
-            if pair is None or pair[0].shape is not key_shape:
-                break
-            if (
-                pair[0].clip_depth != key_clip
-                or pair[0].alpha_layer != key_layer
-            ):
-                break
-            solid = _solid_rgba(pair[1].color)
-            if (first_solid is None) != (solid is None):
-                break
-            if solid is None and pair[1].color is not first[1].color:
-                break
-            run.append(pair)
-            i += 2
+        i = next_i
         if len(run) < 2:
-            out.extend(run[0] if run else (commands[i],))
-            if not run:
-                i += 1
+            out.extend(run[0])
             continue
         # Greedy disjoint grouping in walk order.
         boxes = [_cover_box(p[0].shape, p[0].transform) for p in run]
