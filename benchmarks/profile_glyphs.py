@@ -38,7 +38,11 @@ def timed(frame, n):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--frames", type=int, default=16)
-    parser.add_argument("--variants", default="8x32,8x64,8x128,16x32,16x64")
+    # tile_h x fill_batch [x strips]; strips>1 folds the (tile_h, 128)
+    # block to a (tile_h*strips, 128/strips) screen footprint.
+    parser.add_argument(
+        "--variants", default="8x32,8x32x2,8x32x4,8x32x8,8x16x4,8x64x4"
+    )
     args = parser.parse_args()
     os.environ.setdefault(
         "JAX_COMPILATION_CACHE_DIR",
@@ -75,9 +79,12 @@ def main():
         DrawCommand(RenderOperation.COLOR, shape, t, color=(1, 1, 1, 1)),
     ]
     for variant in args.variants.split(","):
-        tile_h, nb = (int(x) for x in variant.split("x"))
+        parts = [int(x) for x in variant.split("x")]
+        tile_h, nb = parts[0], parts[1]
+        strips = parts[2] if len(parts) > 2 else 1
         renderer = Renderer(
-            Configuration(), width, height, tile_size=tile_h, fill_batch=nb
+            Configuration(), width, height, tile_size=tile_h,
+            fill_batch=nb, tile_strips=strips,
         )
 
         def frame(i, acc):
@@ -88,6 +95,7 @@ def main():
             "metric": "glyphs_1080p",
             "tile_h": tile_h,
             "fill_batch": nb,
+            "strips": strips,
             "value": round(fps, 2),
             "unit": "frames/s",
             "glyphs_per_s": round(fps * n_glyphs),

@@ -81,7 +81,9 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--frames", type=int, default=16)
     parser.add_argument("--batches", default="1,2,4,8")
-    parser.add_argument("--tiles", default="8,16,32")
+    # tile_h [x strips]: strips>1 folds (tile_h, 128) onto a
+    # (tile_h*strips, 128/strips) screen footprint.
+    parser.add_argument("--tiles", default="8,16,32,8x4,8x8,16x4,32x4")
     args = parser.parse_args()
     os.environ.setdefault(
         "JAX_COMPILATION_CACHE_DIR",

@@ -223,6 +223,16 @@ class FrameSpec:
     out_uint8: bool = False
     tile_h: int = 32
     tile_w: int = 128
+    #: Vertical strips per tile: the physical (tile_h, tile_w) VMEM
+    #: block covers a (tile_h·strips, tile_w/strips) SCREEN rectangle,
+    #: laid out as `strips` vertical slabs side by side along the lane
+    #: dimension.  The VPU always computes all tile_w lanes, so a
+    #: narrower, taller footprint costs nothing per step — but compact
+    #: geometry (glyphs, stroke segments) lands in fewer tiles when the
+    #: footprint is square-ish (strips=4 → 32×32 at tile_h=8), cutting
+    #: the per-tile entry walks that dominate dense scenes.  1 = the
+    #: classic row tile (footprint == block).
+    tile_strips: int = 1
     capacity: int = 256             # per-tile local entry rows
     global_capacity: int = 2048     # big-triangle rows
     tile_global_capacity: int = 128  # per-tile big-triangle entries
@@ -232,6 +242,13 @@ class FrameSpec:
     fill_batch: int = NB            # fill entries evaluated per step
     stroke_batch: int = 1           # stroke entries evaluated per step
     interpret: bool = False
+
+    def __post_init__(self):
+        if self.tile_w % self.tile_strips:
+            raise ValueError(
+                f"tile_strips={self.tile_strips} must divide "
+                f"tile_w={self.tile_w}"
+            )
 
     @property
     def entry_pad(self):
@@ -244,12 +261,22 @@ class FrameSpec:
         return len(self.ops)
 
     @property
+    def screen_tile_w(self):
+        """Screen-footprint width of one tile (= tile_w when strips=1)."""
+        return self.tile_w // self.tile_strips
+
+    @property
+    def screen_tile_h(self):
+        """Screen-footprint height of one tile (= tile_h when strips=1)."""
+        return self.tile_h * self.tile_strips
+
+    @property
     def ntx(self):
-        return -(-self.width // self.tile_w)
+        return -(-self.width // self.screen_tile_w)
 
     @property
     def nty(self):
-        return -(-self.height // self.tile_h)
+        return -(-self.height // self.screen_tile_h)
 
     @property
     def n_tiles(self):
@@ -440,7 +467,11 @@ def make_prepare(spec: FrameSpec):
     T = spec.t_max
     Hm = spec.h_max
     W, H = spec.width, spec.height
-    tw, th = spec.tile_w, spec.tile_h
+    # Screen footprint of one tile (may differ from the kernel's
+    # physical (tile_h, tile_w) block shape — see FrameSpec.tile_strips);
+    # ALL binning geometry here is in screen space, so it uses the
+    # footprint exclusively.
+    tw, th = spec.screen_tile_w, spec.screen_tile_h
     ntx, nty, n_tiles = spec.ntx, spec.nty, spec.n_tiles
     K = spec.capacity
     G = spec.global_capacity
@@ -1214,6 +1245,8 @@ def make_rasterize(spec: FrameSpec):
     Hm = spec.h_max + 2
     W, H = spec.width, spec.height
     tw, th = spec.tile_w, spec.tile_h
+    strips = spec.tile_strips
+    lw, lh = spec.screen_tile_w, spec.screen_tile_h
     ntx, nty, n_tiles = spec.ntx, spec.nty, spec.n_tiles
     K = spec.capacity
     Kg = spec.tile_global_capacity
@@ -1263,14 +1296,20 @@ def make_rasterize(spec: FrameSpec):
         if has_depth:
             depthb = scratch[extra]
         t = pl.program_id(0)
-        tile_x0 = (t % ntx).astype(jnp.float32) * tw
-        tile_y0 = (t // ntx).astype(jnp.float32) * th
-        col = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(
-            jnp.float32
-        )
-        row = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(
-            jnp.float32
-        )
+        tile_x0 = (t % ntx).astype(jnp.float32) * lw
+        tile_y0 = (t // ntx).astype(jnp.float32) * lh
+        # Strip layout: lane l of row r covers screen pixel
+        # (x0 + l % lw, y0 + (l // lw)·th + r) — `strips` vertical slabs
+        # of the (lh, lw) screen footprint packed side by side along the
+        # lane dimension (identity when strips == 1).
+        col_i = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1)
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0)
+        if strips == 1:
+            col = col_i.astype(jnp.float32)
+            row = row_i.astype(jnp.float32)
+        else:
+            col = (col_i % lw).astype(jnp.float32)
+            row = ((col_i // lw) * th + row_i).astype(jnp.float32)
         # Per-sample offsets as python floats (a captured constant array
         # would be rejected by pallas_call).
         px = jnp.stack([tile_x0 + col + float(ox) for ox, _ in offsets])
@@ -1938,7 +1977,7 @@ def make_rasterize(spec: FrameSpec):
         @pl.when(n_active == 0)
         def _empty_tile():
             if out_u8:
-                out_ref[...] = jnp.zeros((th, tw), jnp.int32)
+                out_ref[...] = jnp.zeros(out_ref.shape, jnp.int32)
             else:
                 out_ref[...] = jnp.zeros((1, 4, th, tw), jnp.float32)
 
@@ -1972,9 +2011,8 @@ def make_rasterize(spec: FrameSpec):
                             jnp.clip(v, 0.0, 1.0) * 255.0 + 0.5
                         ).astype(jnp.int32)
                     )
-                out_ref[...] = (
-                    q[0] | (q[1] << 8) | (q[2] << 16) | (q[3] << 24)
-                )
+                packed = q[0] | (q[1] << 8) | (q[2] << 16) | (q[3] << 24)
+                out_ref[...] = packed.reshape(out_ref.shape)
             else:
                 for chan in range(4):
                     out_ref[0, chan] = (
@@ -2016,11 +2054,16 @@ def make_rasterize(spec: FrameSpec):
         pl.BlockSpec(memory_space=pltpu.VMEM),                       # desc_i
     ]
 
-    if out_u8:
+    if out_u8 and strips == 1:
         # Each tile's packed-RGBA8 block lands at its final mosaic
         # position — no de-tiling transpose downstream.
         out_specs = pl.BlockSpec((th, tw), lambda i: (i // ntx, i % ntx))
         out_shape = jax.ShapeDtypeStruct((nty * th, ntx * tw), jnp.int32)
+    elif out_u8:
+        # Strip tiles are not contiguous screen rectangles; the packed
+        # blocks de-tile downstream like the float path.
+        out_specs = pl.BlockSpec((1, th, tw), lambda i: (i, 0, 0))
+        out_shape = jax.ShapeDtypeStruct((n_tiles, th, tw), jnp.int32)
     else:
         out_specs = pl.BlockSpec((1, 4, th, tw), lambda i: (i, 0, 0, 0))
         out_shape = jax.ShapeDtypeStruct((n_tiles, 4, th, tw), jnp.float32)
@@ -2059,15 +2102,25 @@ def make_rasterize(spec: FrameSpec):
             prepared.g_tri_f, prepared.g_tri_i,
             prepared.hull_lines, desc_f, desc_i,
         )
-        if out_u8:
+        if out_u8 and strips == 1:
             # (H', W') int32 → (H, W, 4) uint8: a pure bitcast view of
             # the little-endian RGBA quads; no data movement.
             return jax.lax.bitcast_convert_type(
                 tiles[:H, :W], jnp.uint8
             )
-        image = tiles.reshape(nty, ntx, 4, th, tw)
-        image = image.transpose(0, 3, 1, 4, 2).reshape(
-            nty * th, ntx * tw, 4
+        if out_u8:
+            # De-strip: lane l of row r is screen pixel
+            # ((l // lw)·th + r, l % lw) within the tile's footprint.
+            image = tiles.reshape(nty, ntx, th, strips, lw)
+            image = image.transpose(0, 3, 2, 1, 4).reshape(
+                nty * lh, ntx * lw
+            )
+            return jax.lax.bitcast_convert_type(
+                image[:H, :W], jnp.uint8
+            )
+        image = tiles.reshape(nty, ntx, 4, th, strips, lw)
+        image = image.transpose(0, 4, 3, 1, 5, 2).reshape(
+            nty * lh, ntx * lw, 4
         )
         return image[:H, :W]
 
