@@ -811,6 +811,118 @@ def _fuse_instance_runs(commands):
     return out, fused_any
 
 
+class _FusionPlan:
+    """Build-time structural fusion plan of a FrameProgram (see
+    _plan_fusion)."""
+
+    __slots__ = ("commands", "gather", "runs")
+
+
+def _plan_fusion(commands):
+    """Structural auto-instancing plan for a FrameProgram's optimized
+    command list: every maximal fusable run (see _collect_fusable_run)
+    of >= 2 (STENCIL, COLOR) pairs collapses into one instanced pair —
+    the reference's ``instance_range 0..n`` draw (renderer.rs:267,
+    462-466).
+
+    Unlike ``Renderer.render`` (whose transforms are known per call and
+    which can therefore group greedily by disjointness), a
+    FrameProgram's transforms are runtime inputs, so the plan is
+    all-or-nothing per frame: ``FrameProgram._fused_transforms_if_valid``
+    re-validates at every call that (a) each pair's stencil and cover
+    rows are equal and (b) every run's projected cover boxes are
+    pairwise disjoint, dispatching the fused program only then and the
+    sequential one otherwise.  Pixel-exactness follows from the same
+    argument as _fuse_instance_runs: with disjoint covers the instanced
+    stencil's early winding accumulation is invisible.
+
+    Returns None when nothing fuses, else a _FusionPlan with:
+
+    - ``commands``: the fused command list;
+    - ``gather``: int32 row indices mapping the sequential (opt-layout)
+      transform stack onto the fused layout;
+    - ``runs``: per fused run ``(shape, stencil_rows, cover_rows)``
+      opt-layout row indices for the per-call validity check.
+    """
+    rows_before = np.cumsum([0] + [c.n_instances for c in commands])
+    out = []
+    gather = []
+    runs = []
+    i = 0
+    n = len(commands)
+    fused_any = False
+    while i < n:
+        run, next_i = _collect_fusable_run(
+            commands, i, check_transforms=False
+        )
+        if len(run) < 2:
+            upto = next_i if run else i + 1
+            for j in range(i, upto):
+                gather.extend(range(rows_before[j], rows_before[j + 1]))
+                out.append(commands[j])
+            i = upto
+            continue
+        fused_any = True
+        stencil_rows = rows_before[np.arange(i, next_i, 2)]
+        cover_rows = stencil_rows + 1
+        transforms = np.ascontiguousarray(
+            np.stack([
+                np.asarray(p[0].transform, np.float32) for p in run
+            ])
+        )
+        if _paint_kind(run[0][1].color):
+            color = run[0][1].color
+        else:
+            color = np.ascontiguousarray(
+                np.stack([
+                    np.asarray(p[1].color, np.float32).reshape(4)
+                    for p in run
+                ])
+            )
+        out.append(replace(run[0][0], transform=transforms))
+        out.append(
+            replace(run[0][1], transform=transforms, color=color)
+        )
+        gather.extend(int(r) for r in stencil_rows)
+        gather.extend(int(r) for r in cover_rows)
+        runs.append(
+            (
+                run[0][0].shape,
+                stencil_rows.astype(np.int64),
+                cover_rows.astype(np.int64),
+            )
+        )
+        i = next_i
+    if not fused_any:
+        return None
+    plan = _FusionPlan()
+    plan.commands = out
+    plan.gather = np.asarray(gather, np.int32)
+    plan.runs = runs
+    return plan
+
+
+def _run_boxes_disjoint(shape, transforms) -> bool:
+    """True iff every instance's projected cover box is well-defined
+    and pairwise disjoint from the others (vectorized closed-box
+    test over the run)."""
+    boxes = []
+    for t in transforms:
+        box = _cover_box(shape, t)
+        if box is None:
+            return False
+        boxes.append(box)
+    b = np.asarray(boxes)
+    disjoint = (
+        (b[:, None, 2] < b[None, :, 0])
+        | (b[None, :, 2] < b[:, None, 0])
+        | (b[:, None, 3] < b[None, :, 1])
+        | (b[None, :, 3] < b[:, None, 1])
+    )
+    np.fill_diagonal(disjoint, True)
+    return bool(disjoint.all())
+
+
 class _SceneArrays:
     """Padded, stacked, device-resident geometry for a set of shapes."""
 
@@ -935,6 +1047,7 @@ class Renderer:
         fill_batch=None,
         stroke_batch: int = 1,
         auto_instance: bool = True,
+        tile_strips=None,
     ):
         self.config = config
         self.width = int(width)
@@ -959,6 +1072,13 @@ class Renderer:
         #: ranges on v5e; wider batches waste masked lanes on the
         #: batch-vectorized geometry stage).
         self.stroke_batch = max(1, int(stroke_batch))
+        #: Vertical strips per tile (coverage.FrameSpec.tile_strips):
+        #: the (tile_h, 128) VMEM block covers a (tile_h·s, 128/s)
+        #: screen footprint.  Square-ish footprints put compact geometry
+        #: (glyphs, stroke segments) in fewer tiles, shortening the
+        #: per-tile entry walks that dominate dense scenes.  None = auto
+        #: per scene (see _spec).
+        self.tile_strips = None if tile_strips is None else int(tile_strips)
         self._global_capacity = 1024
         # Per-tile big-triangle rows are DMA'd per grid step whether
         # used or not — start small; the overflow machinery grows it
@@ -1109,15 +1229,18 @@ class Renderer:
         # 70% faster at (tile 8, batch 32); the 332-triangle showcase
         # 15-40% faster at (tile 32, batch 2).
         if scene.t_max >= 32768:
-            auto_tile, auto_batch = 8, 32
+            auto_tile, auto_batch, auto_strips = 8, 32, 1
         elif scene.t_max >= 4096:
-            auto_tile, auto_batch = 16, 8
+            auto_tile, auto_batch, auto_strips = 16, 8, 1
         else:
-            auto_tile, auto_batch = 32, 2
+            auto_tile, auto_batch, auto_strips = 32, 2, 1
         fill_batch = (
             auto_batch if self.fill_batch is None else self.fill_batch
         )
         tile_h = auto_tile if self.tile_h is None else self.tile_h
+        tile_strips = (
+            auto_strips if self.tile_strips is None else self.tile_strips
+        )
         return coverage.FrameSpec(
             width=self.width,
             height=self.height,
@@ -1140,6 +1263,7 @@ class Renderer:
             depth_write=self.config.depth_write_enabled,
             tile_h=tile_h,
             tile_w=self.tile_w,
+            tile_strips=tile_strips,
             capacity=self.tile_capacity,
             global_capacity=self._global_capacity,
             tile_global_capacity=self._tile_global_capacity,
@@ -1607,6 +1731,19 @@ class Renderer:
         return (image * 255.0 + 0.5).astype(jnp.uint8)
 
 
+class _ProgramVariant:
+    """One compiled command-walk variant of a FrameProgram: the
+    sequential walk, or the auto-instanced fused walk.  Holds the
+    variant's FrameSpec, jitted step functions, and packed command
+    tables (jax.jit is lazy — an undispatched variant never compiles).
+    """
+
+    __slots__ = (
+        "spec", "opt_commands", "step", "step_carry", "step_sequence",
+        "paint_model", "packed_constant", "cmd_i", "cmd_f",
+    )
+
+
 class FrameProgram:
     """A fused frame step for a fixed command structure: binning +
     raster kernel compiled as ONE jitted program with the instance
@@ -1649,13 +1786,12 @@ class FrameProgram:
         # _keep_rows in __call__.
         opt, self._keep_rows = _optimize_commands(self._commands)
         self._opt_commands = opt
-        self._shapes, shape_index = renderer._unique_shapes(opt)
-        self._ops = tuple(int(c.operation) for c in opt)
-        self._cmd_shape = tuple(shape_index[id(c.shape)] for c in opt)
-        self._paints = tuple(_paint_kind(c.color) for c in opt)
-        self._paint_model = Renderer._pack_paints(opt)
-        inst = tuple(c.n_instances for c in opt)
-        self._cmd_inst = inst if any(n != 1 for n in inst) else ()
+        self._shapes, _ = renderer._unique_shapes(opt)
+        #: Auto-instancing (the render()-path _fuse_instance_runs, but
+        #: with transforms as runtime inputs): the fused variant
+        #: compiles lazily and dispatches only on frames whose
+        #: transforms keep every run's covers pairwise disjoint.
+        self._fusion = _plan_fusion(opt) if renderer.auto_instance else None
         # Settle binning capacities with strict prepares so the
         # compiled program starts at converged sizes.  Two probe
         # orientations: the natural frame under-counts per-tile entries
@@ -1729,13 +1865,31 @@ class FrameProgram:
         renderer = self._renderer
         _, scene = renderer._scene_arrays(self._shapes)
         self._scene = scene
-        spec = renderer._spec(
-            self._ops, self._cmd_shape, self._cmd_inst, scene, self._paints
+        self._seq = self._build_variant(self._opt_commands)
+        # The program's observable spec is the sequential variant's
+        # (the fused one differs only in command structure).
+        self._spec = self._seq.spec
+        self._fused = (
+            self._build_variant(self._fusion.commands)
+            if self._fusion is not None
+            else None
         )
+
+    def _build_variant(self, opt_commands) -> "_ProgramVariant":
+        """Compile one command-walk variant (jit is lazy: a variant
+        never dispatched never compiles)."""
+        renderer = self._renderer
+        scene = self._scene
+        _, shape_index = renderer._unique_shapes(opt_commands)
+        ops = tuple(int(c.operation) for c in opt_commands)
+        cmd_shape = tuple(shape_index[id(c.shape)] for c in opt_commands)
+        paints = tuple(_paint_kind(c.color) for c in opt_commands)
+        inst = tuple(c.n_instances for c in opt_commands)
+        cmd_inst = inst if any(n != 1 for n in inst) else ()
+        spec = renderer._spec(ops, cmd_shape, cmd_inst, scene, paints)
         spec = replace(spec, **self._caps)
         if self._uint8:
             spec = replace(spec, out_uint8=True)
-        self._spec = spec
         prepare = coverage.make_prepare(spec)
         rasterize = coverage.make_rasterize(spec)
 
@@ -1782,22 +1936,32 @@ class FrameProgram:
             )
             return frames, worst
 
-        self._step = jax.jit(step)
-        self._step_carry = jax.jit(step_carry)
-        self._step_sequence = jax.jit(
+        v = _ProgramVariant()
+        v.spec = spec
+        v.opt_commands = opt_commands
+        v.step = jax.jit(step)
+        v.step_carry = jax.jit(step_carry)
+        v.step_sequence = jax.jit(
             step_sequence, static_argnames=("as_uint8",)
         )
+        v.paint_model = Renderer._pack_paints(opt_commands)
         # cmd_f carries the blend constant (if the state uses one) as a
         # runtime column; _refresh_cmd_f re-packs it per call when
         # Renderer.set_blend_constant changed it — wgpu's dynamic
         # render-pass state (renderer.rs:381 + RenderPass::
         # set_blend_constant), no retrace (same shapes).
-        self._packed_constant = renderer._blend_constant_arg()
+        v.packed_constant = renderer._blend_constant_arg()
         cmd_i, cmd_f = Renderer._pack_commands_runtime(
-            self._opt_commands, self._packed_constant
+            opt_commands, v.packed_constant
         )
-        self._cmd_i = jnp.asarray(cmd_i)
-        self._cmd_f = jnp.asarray(cmd_f)
+        v.cmd_i = jnp.asarray(cmd_i)
+        v.cmd_f = jnp.asarray(cmd_f)
+        return v
+
+    def _variants(self):
+        return (self._seq,) if self._fused is None else (
+            self._seq, self._fused
+        )
 
     def _refresh_cmd_f(self):
         """Re-pack cmd_f when the renderer's blend constant changed
@@ -1805,12 +1969,33 @@ class FrameProgram:
         takes cmd_f as a runtime input, so animating the constant never
         rebuilds or retraces)."""
         constant = self._renderer._blend_constant_arg()
-        if constant != self._packed_constant:
-            self._packed_constant = constant
-            _, cmd_f = Renderer._pack_commands_runtime(
-                self._opt_commands, constant
-            )
-            self._cmd_f = jnp.asarray(cmd_f)
+        for v in self._variants():
+            if constant != v.packed_constant:
+                v.packed_constant = constant
+                _, cmd_f = Renderer._pack_commands_runtime(
+                    v.opt_commands, constant
+                )
+                v.cmd_f = jnp.asarray(cmd_f)
+
+    def _fused_transforms_if_valid(self, transforms):
+        """The fused-layout transform stack when this frame's
+        transforms keep the fusion plan pixel-exact, else None.
+
+        Valid iff for every fused run (a) each pair's stencil and cover
+        rows are bit-equal (fused draws share one row per instance) and
+        (b) the run's projected cover boxes are well-defined and
+        pairwise disjoint (so the instanced stencil's early winding
+        accumulation is invisible — same soundness rule as
+        _fuse_instance_runs, re-derived per frame under camera motion).
+        """
+        for shape, stencil_rows, cover_rows in self._fusion.runs:
+            if not np.array_equal(
+                transforms[stencil_rows], transforms[cover_rows]
+            ):
+                return None
+            if not _run_boxes_disjoint(shape, transforms[stencil_rows]):
+                return None
+        return np.ascontiguousarray(transforms[self._fusion.gather])
 
     #: Frames an unconsumed overflow counter may age before the host
     #: blocks on it.  Overflow only fires when a moving scene outgrows
@@ -1908,26 +2093,32 @@ class FrameProgram:
         self._frame += 1
         self._sync()
         self._refresh_cmd_f()
+        variant = self._seq
+        if self._fused is not None:
+            fused_tf = self._fused_transforms_if_valid(transforms)
+            if fused_tf is not None:
+                variant = self._fused
+                transforms = fused_tf
         desc_f, desc_i = Renderer._pack_descriptors(self._shapes)
         desc_static = np.ascontiguousarray(desc_i[:, [9, 8]])
         args = (
             self._scene.arrays,
             transforms,
             renderer._dev_cached("fp_desc_static", desc_static),
-            self._cmd_i,
-            self._cmd_f,
+            variant.cmd_i,
+            variant.cmd_f,
             renderer._dev_cached("fp_desc_f", desc_f),
             renderer._dev_cached("fp_desc_i", desc_i),
             (
                 None
-                if self._paint_model is None
-                else renderer._dev_cached("fp_paints", self._paint_model)
+                if variant.paint_model is None
+                else renderer._dev_cached("fp_paints", variant.paint_model)
             ),
         )
         if carry is None:
-            image, overflow = self._step(*args)
+            image, overflow = variant.step(*args)
         else:
-            image, overflow, carry = self._step_carry(
+            image, overflow, carry = variant.step_carry(
                 jnp.asarray(carry, jnp.float32), *args
             )
         try:
@@ -1972,20 +2163,32 @@ class FrameProgram:
         self._frame += len(transforms)
         self._sync()
         self._refresh_cmd_f()
+        variant = self._seq
+        if self._fused is not None:
+            # One program renders the whole scan, so the fused variant
+            # dispatches only when EVERY frame of the segment validates.
+            fused_frames = [
+                self._fused_transforms_if_valid(t) for t in transforms
+            ]
+            if all(f is not None for f in fused_frames):
+                variant = self._fused
+                transforms = np.ascontiguousarray(
+                    np.stack(fused_frames)
+                )
         desc_f, desc_i = Renderer._pack_descriptors(self._shapes)
         desc_static = np.ascontiguousarray(desc_i[:, [9, 8]])
-        frames, overflow = self._step_sequence(
+        frames, overflow = variant.step_sequence(
             self._scene.arrays,
             transforms,
             renderer._dev_cached("fp_desc_static", desc_static),
-            self._cmd_i,
-            self._cmd_f,
+            variant.cmd_i,
+            variant.cmd_f,
             renderer._dev_cached("fp_desc_f", desc_f),
             renderer._dev_cached("fp_desc_i", desc_i),
             (
                 None
-                if self._paint_model is None
-                else renderer._dev_cached("fp_paints", self._paint_model)
+                if variant.paint_model is None
+                else renderer._dev_cached("fp_paints", variant.paint_model)
             ),
             as_uint8=bool(as_uint8),
         )

@@ -1500,3 +1500,90 @@ class TestAutoInstancing:
         fused, any_fused = _fuse_instance_runs(commands)
         assert any_fused
         assert [c.n_instances for c in fused] == [2, 2, 1, 1]
+
+
+class TestFrameProgramFusion:
+    """FrameProgram's runtime-checked auto-instancing: fusable runs
+    are detected structurally at build, and every call re-validates
+    cover disjointness with the frame's transform stack, dispatching
+    the fused variant only then (falling back to the sequential walk
+    otherwise) — pixel-exact either way."""
+
+    def _commands(self, shape, offsets):
+        commands = []
+        for k, (dx, dy) in enumerate(offsets):
+            commands += stencil_color(
+                shape, translate(dx, dy),
+                (1.0 - 0.2 * k, 0.2 * k, 0.3, 0.6),
+            )
+        return commands
+
+    def test_fused_dispatch_matches_sequential(self):
+        shape = Shape([Path.from_circle((6.0, 6.0), 5.0)])
+        commands = self._commands(
+            shape, [(0.0, 0.0), (20.0, 0.0), (40.0, 0.0)]
+        )
+        r = Renderer(Configuration(), SIZE, SIZE)
+        program = r.compile_frame(commands)
+        assert program._fusion is not None
+        assert len(program._fusion.commands) == 2
+        want = Renderer(
+            Configuration(), SIZE, SIZE, auto_instance=False
+        ).render(commands)
+        assert np.array_equal(np.asarray(program()), want)
+
+    def test_camera_motion_falls_back_when_covers_touch(self):
+        shape = Shape([Path.from_circle((8.0, 8.0), 7.0)])
+        commands = self._commands(shape, [(0.0, 0.0), (40.0, 0.0)])
+        r = Renderer(Configuration(), SIZE, SIZE)
+        program = r.compile_frame(commands)
+        seq = Renderer(Configuration(), SIZE, SIZE, auto_instance=False)
+        # Slide the second instance onto the first: covers overlap,
+        # the fused plan invalidates, the sequential walk must render
+        # the exact blended result.
+        moved = self._commands(shape, [(0.0, 0.0), (6.0, 4.0)])
+        transforms = Renderer._pack_transforms(moved)
+        assert program._fused_transforms_if_valid(transforms) is None
+        assert np.array_equal(
+            np.asarray(program(transforms)), seq.render(moved)
+        )
+        # And back apart: the fused variant revalidates and matches.
+        apart = Renderer._pack_transforms(commands)
+        assert program._fused_transforms_if_valid(apart) is not None
+        assert np.array_equal(
+            np.asarray(program(apart)), seq.render(commands)
+        )
+
+    def test_render_sequence_falls_back_across_segment(self):
+        shape = Shape([Path.from_circle((8.0, 8.0), 7.0)])
+        commands = self._commands(shape, [(0.0, 0.0), (40.0, 0.0)])
+        moved = self._commands(shape, [(0.0, 0.0), (6.0, 4.0)])
+        r = Renderer(Configuration(), SIZE, SIZE)
+        program = r.compile_frame(commands)
+        seq = Renderer(Configuration(), SIZE, SIZE, auto_instance=False)
+        stacks = np.stack([
+            Renderer._pack_transforms(commands),
+            Renderer._pack_transforms(moved),
+        ])
+        frames = np.asarray(program.render_sequence(stacks, as_uint8=False))
+        assert np.array_equal(frames[0], seq.render(commands))
+        assert np.array_equal(frames[1], seq.render(moved))
+
+    def test_mismatched_pair_rows_disable_fusion(self):
+        """A caller stack whose stencil and cover rows differ must
+        never dispatch the fused variant (fused draws share one
+        transform row per instance)."""
+        shape = Shape([Path.from_circle((6.0, 6.0), 5.0)])
+        commands = self._commands(shape, [(0.0, 0.0), (20.0, 0.0)])
+        r = Renderer(Configuration(), SIZE, SIZE)
+        program = r.compile_frame(commands)
+        transforms = Renderer._pack_transforms(commands).copy()
+        transforms[1, 0, 3] += 0.25  # cover row diverges from stencil
+        assert program._fused_transforms_if_valid(transforms) is None
+
+    def test_auto_instance_off_compiles_no_fused_variant(self):
+        shape = Shape([Path.from_circle((6.0, 6.0), 5.0)])
+        commands = self._commands(shape, [(0.0, 0.0), (20.0, 0.0)])
+        r = Renderer(Configuration(), SIZE, SIZE, auto_instance=False)
+        program = r.compile_frame(commands)
+        assert program._fusion is None and program._fused is None
