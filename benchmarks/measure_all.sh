@@ -44,6 +44,6 @@ run BENCH_SIZE=3840x2160 BENCH_U8=1 python bench.py
 run BENCH_SIZE=3840x2160 BENCH_DEPTH=1 python bench.py
 run BENCH_SIZE=3840x2160 BENCH_ORBIT=1 BENCH_U8=1 python bench.py
 run BENCH_SIZE=3840x2160 BENCH_ORBIT=1 BENCH_U8=1 BENCH_SEQ=8 python bench.py
-echo "== run_configs 1-7" | tee -a "$LOG"
-timeout 4500 python benchmarks/run_configs.py --configs 1,2,3,4,5,6,7 2>>"$LOG" | tee -a "$LOG"
+echo "== run_configs 1-8" | tee -a "$LOG"
+timeout 5400 python benchmarks/run_configs.py --configs 1,2,3,4,5,6,7,8 2>>"$LOG" | tee -a "$LOG"
 echo "done" | tee -a "$LOG"

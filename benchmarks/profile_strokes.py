@@ -104,11 +104,14 @@ def main():
         DrawCommand(RenderOperation.STENCIL, shape, t),
         DrawCommand(RenderOperation.COLOR, shape, t, color=(1, 1, 1, 1)),
     ]
-    for tile_h in (int(x) for x in args.tiles.split(",")):
+    for tile_spec in args.tiles.split(","):
+        parts = [int(x) for x in tile_spec.split("x")]
+        tile_h = parts[0]
+        strips = parts[1] if len(parts) > 1 else 1
         for sbs in (int(x) for x in args.batches.split(",")):
             renderer = Renderer(
                 Configuration(), width, height,
-                tile_size=tile_h, stroke_batch=sbs,
+                tile_size=tile_h, stroke_batch=sbs, tile_strips=strips,
             )
 
             def frame(i, acc):
@@ -121,6 +124,7 @@ def main():
                 "metric": "strokes_1080p",
                 "stroke_batch": sbs,
                 "tile_h": tile_h,
+                "strips": strips,
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "stats": {

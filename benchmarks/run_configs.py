@@ -145,15 +145,14 @@ def config2(frames):
     )
 
 
-def config3(frames):
+def config3(frames, width=1920, height=1080,
+            label="config3_dashed_strokes_1080p"):
     """Dashed strokes, all join styles, animated phase."""
     from contrast_renderer_tpu.path import (
         Cap, CurveApproximation, DashInterval, DynamicStrokeOptions,
         Join, Path, StrokeOptions)
     from contrast_renderer_tpu.renderer import (
         Configuration, DrawCommand, RenderOperation, Renderer, Shape)
-
-    width, height = 1920, 1080
 
     def dashed(join, phase):
         return DynamicStrokeOptions.make_dashed(
@@ -202,10 +201,7 @@ def config3(frames):
         return renderer.render(commands, to_host=False, carry=acc)
 
     fps = _timed_frames(frame, frames)
-    emit(
-        "config3_dashed_strokes_1080p", fps, "frames/s",
-        {"triangles": len(shape.triangles)},
-    )
+    emit(label, fps, "frames/s", {"triangles": len(shape.triangles)})
 
 
 def config4(frames):
@@ -270,18 +266,58 @@ def config4(frames):
     def frame(i, acc):
         return renderer.render(commands, to_host=False, carry=acc)
 
-    fps = _timed_frames(frame, frames)
+    fps_mono = _timed_frames(frame, frames)
     emit(
-        "config4_10k_glyphs_1080p", fps * n_glyphs, "glyphs/s",
+        "config4_10k_glyphs_1080p_monolith", fps_mono * n_glyphs,
+        "glyphs/s",
         {
             "glyphs": n_glyphs,
-            "frames_per_s": round(fps, 3),
+            "frames_per_s": round(fps_mono, 3),
             "triangles": len(shape.triangles),
             "outline_s": round(outline_s, 3),
             "scene_build_native_s": round(build_s, 3),
             "scene_build_python_s": round(build_py_s, 3),
             "scene_build_glyphcache_cold_s": round(build_fast_cold_s, 3),
             "scene_build_glyphcache_warm_s": round(build_fast_warm_s, 3),
+        },
+    )
+
+    # Production path (headline): one instanced (STENCIL, COLOR) pair
+    # per unique glyph — the reference's per-glyph vertex buffers +
+    # instanced draw (text.rs:97-104, renderer.rs:462-466).  Binning
+    # touches each unique glyph's triangles once per frame instead of
+    # all ~296k monolith rows.
+    from contrast_renderer_tpu.text import text_commands
+    t0 = time.perf_counter()
+    inst_commands = text_commands(
+        font.face, layout, text, t, color=(1, 1, 1, 1)
+    )
+    build_inst_s = time.perf_counter() - t0
+    renderer_inst = Renderer(
+        Configuration(), width, height,
+        tile_size=(int(os.environ["BENCH_TILE_H"])
+                   if os.environ.get("BENCH_TILE_H") else None),
+        fill_batch=(int(os.environ["BENCH_FILL_BATCH"])
+                    if os.environ.get("BENCH_FILL_BATCH") else None),
+    )
+
+    def frame_inst(i, acc):
+        return renderer_inst.render(inst_commands, to_host=False, carry=acc)
+
+    fps = _timed_frames(frame_inst, frames)
+    emit(
+        "config4_10k_glyphs_1080p", fps * n_glyphs, "glyphs/s",
+        {
+            "glyphs": n_glyphs,
+            "frames_per_s": round(fps, 3),
+            "commands": len(inst_commands),
+            "unique_glyph_triangles": sum(
+                len(s.triangles)
+                for s in {
+                    id(c.shape): c.shape for c in inst_commands
+                }.values()
+            ),
+            "scene_build_instanced_s": round(build_inst_s, 3),
         },
     )
 
@@ -383,11 +419,15 @@ def config5_orbit(frames, width, height, label):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument(
-        "--configs", default="1,2,3,4,5,6,7",
+        "--configs", default="1,2,3,4,5,6,7,8",
         help="1-5: BASELINE.json configs; 6: 1080p orbit (row 5c); "
-             "7: 4K orbit (row 5d)",
+             "7: 4K orbit (row 5d); 8: 4K dashed strokes (row 3b)",
     )
-    parser.add_argument("--frames", type=int, default=16)
+    # 32 frames per timed batch, same as bench.py: each batch pays one
+    # final-fetch round trip over the remote link (~60 ms), so fewer
+    # frames per batch under-reports the steady-state rate (16 frames
+    # measured ~6% low on the 4K rows vs the same scene in bench.py).
+    parser.add_argument("--frames", type=int, default=32)
     args = parser.parse_args()
     os.environ.setdefault(
         "JAX_COMPILATION_CACHE_DIR",
@@ -406,6 +446,10 @@ def main():
         elif index == 7:
             config5_orbit(
                 args.frames, 3840, 2160, "config5d_showcase_4k_orbit"
+            )
+        elif index == 8:
+            config3(
+                args.frames, 3840, 2160, "config3b_dashed_strokes_4k"
             )
         else:
             fns[index](args.frames)

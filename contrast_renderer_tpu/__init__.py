@@ -45,7 +45,7 @@ def __getattr__(name):
     _renderer_names = {
         "BlendComponent", "BlendState", "Configuration", "DrawCommand",
         "FrameProgram", "LinearGradient", "RadialGradient",
-        "RenderOperation", "Renderer", "Shape",
+        "RenderOperation", "Renderer", "Shape", "UserPaint",
     }
     _app_names = {"Application", "FrameLoop", "PngSink", "CollectSink"}
     if name in _renderer_names:

@@ -249,7 +249,6 @@ class FrameSpec:
                 f"tile_strips={self.tile_strips} must divide "
                 f"tile_w={self.tile_w}"
             )
-
     @property
     def entry_pad(self):
         """Row padding past the capacity so batched `pl.ds` slices of
@@ -480,7 +479,6 @@ def make_prepare(spec: FrameSpec):
     PAD = spec.entry_pad
     mx, my = spec.slots_x, spec.slots_y
     M = mx * my
-
     def prepare(xy, aux, kind, meta, gbase, hull, transforms, desc_static,
                 paint_model=None):
         """xy (Ns,T,3,2) aux (Ns,T,3,4) kind (Ns,T) meta (Ns,T,2)
@@ -1278,6 +1276,16 @@ def make_rasterize(spec: FrameSpec):
         )
     )
     has_paint = bool(any(spec.paints))
+    # Distinct user-paint functions in first-appearance order over the
+    # command walk — matches renderer._pack_commands_runtime's code
+    # assignment (code = 3 + index).
+    user_fns = []
+    _seen_fns = set()
+    for p in spec.paints:
+        fn = getattr(p, "fn", None)
+        if fn is not None and id(fn) not in _seen_fns:
+            _seen_fns.add(id(fn))
+            user_fns.append(fn)
 
     def kernel(
         cmd_i, cmd_f, paint_xy, zplane, unit_cmd_s, unit_draw_s, acount,
@@ -1823,7 +1831,28 @@ def make_rasterize(spec: FrameSpec):
                             def _solid_cover():
                                 blend((cr * ca, cg * ca, cb * ca, ca), ca)
 
-                            @pl.when(pk != 0)
+                            # User paints (renderer.UserPaint): each
+                            # distinct fn compiles its own branch,
+                            # selected by the packed code 3+i (the
+                            # reference's user-defined fragment shaders,
+                            # README.md:28-33, via custom wgpu
+                            # pipelines, lib.rs:4-7).  The fn returns
+                            # straight RGBA; premultiplied here like
+                            # the gradient path.
+                            for u_ix, u_fn in enumerate(user_fns):
+                                @pl.when(pk == 3 + u_ix)
+                                def _user_cover(u_fn=u_fn):
+                                    anchor = (
+                                        paint_xy[d, 0], paint_xy[d, 1],
+                                        paint_xy[d, 2], paint_xy[d, 3],
+                                    )
+                                    ur, ug, ub, ua = u_fn(px, py, anchor)
+                                    blend(
+                                        (ur * ua, ug * ua, ub * ua, ua),
+                                        ua,
+                                    )
+
+                            @pl.when((pk == 1) | (pk == 2))
                             def _gradient_cover():
                                 # Gradient paints (TPU-native extension):
                                 # per-sample t along the projected

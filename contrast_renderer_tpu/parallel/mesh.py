@@ -79,7 +79,7 @@ def _packed_pipeline(sub, commands, out_uint8=False):
     """
     from dataclasses import replace
 
-    from ..renderer import Renderer, _optimize_commands, _paint_kind
+    from ..renderer import Renderer, _optimize_commands, _spec_paint
 
     sub._validate(commands)
     commands, keep_rows = _optimize_commands(commands)
@@ -89,7 +89,7 @@ def _packed_pipeline(sub, commands, out_uint8=False):
     cmd_shape = tuple(shape_index[id(c.shape)] for c in commands)
     inst = tuple(c.n_instances for c in commands)
     cmd_inst = inst if any(n != 1 for n in inst) else ()
-    paints = tuple(_paint_kind(c.color) for c in commands)
+    paints = tuple(_spec_paint(c.color) for c in commands)
     spec = sub._spec(ops, cmd_shape, cmd_inst, scene, paints)
     if out_uint8:
         spec = replace(spec, out_uint8=True)

@@ -228,8 +228,57 @@ class RadialGradient:
         return _normalize_stops(self.color0, self.color1, self.stops)
 
 
+class UserPaint:
+    """User-defined paint: a JAX-traceable function compiled into the
+    color cover's composite — the reference's "Customizable (User
+    Defined) Shaders" feature line (README.md:28-33), where a user
+    builds custom wgpu fragment pipelines against the library's stencil
+    setup (the crate re-exports wgpu, lib.rs:4-7).  Here the custom
+    stage is a function of screen position traced into the same fused
+    kernel the built-in paints use, so it pays no extra pass.
+
+    ``fn(px, py, anchor) -> (r, g, b, a)``:
+
+    - ``px``/``py``: float32 sample-position arrays (MSAA samples ×
+      tile pixels); elementwise jax.numpy only (no data-dependent
+      Python control flow — the function is traced once per compiled
+      frame program).
+    - ``anchor``: four scalars (x0, y0, x1, y1) — the two model-space
+      ``points`` projected through the draw's transform per instance,
+      exactly like gradient endpoints, giving the function a model
+      frame that tracks instancing and camera motion.
+    - returns straight (non-premultiplied) RGBA components
+      broadcastable against ``px``; the kernel premultiplies by the
+      returned alpha and feeds the active blend state, like the
+      built-in gradients.
+
+    Two UserPaints sharing the same ``fn`` object share compiled code
+    (the anchor stays per-draw data); distinct functions compile their
+    own branch.  Pass as ``DrawCommand(color=UserPaint(...))``.
+    """
+
+    kind = USER_PAINT_KIND = 3
+
+    def __init__(self, fn, points=((0.0, 0.0), (1.0, 0.0))):
+        self.fn = fn
+        self._points = np.asarray(points, np.float32)
+        if self._points.shape != (2, 2):
+            raise ValueError("UserPaint points must be two (x, y) pairs")
+
+    def points(self):
+        return self._points
+
+
 def _paint_kind(color) -> int:
     return getattr(color, "kind", 0)
+
+
+def _spec_paint(color):
+    """FrameSpec.paints entry for a command color: the builtin kind
+    int, or the UserPaint object itself (its ``fn`` identity is part
+    of the compiled program)."""
+    kind = _paint_kind(color)
+    return color if kind >= UserPaint.kind else kind
 
 
 #: The named shorthands as BlendStates.
@@ -811,116 +860,273 @@ def _fuse_instance_runs(commands):
     return out, fused_any
 
 
-class _FusionPlan:
-    """Build-time structural fusion plan of a FrameProgram (see
-    _plan_fusion)."""
+class _FusionRun:
+    """One structural run of fusable (STENCIL, COLOR) pairs inside a
+    FrameProgram's optimized command list (see _structural_runs)."""
 
-    __slots__ = ("commands", "gather", "runs")
+    __slots__ = (
+        "start", "pairs", "shape", "stencil_rows", "cover_rows", "escape",
+    )
 
 
-def _plan_fusion(commands):
-    """Structural auto-instancing plan for a FrameProgram's optimized
-    command list: every maximal fusable run (see _collect_fusable_run)
-    of >= 2 (STENCIL, COLOR) pairs collapses into one instanced pair —
-    the reference's ``instance_range 0..n`` draw (renderer.rs:267,
-    462-466).
-
-    Unlike ``Renderer.render`` (whose transforms are known per call and
-    which can therefore group greedily by disjointness), a
-    FrameProgram's transforms are runtime inputs, so the plan is
-    all-or-nothing per frame: ``FrameProgram._fused_transforms_if_valid``
-    re-validates at every call that (a) each pair's stencil and cover
-    rows are equal and (b) every run's projected cover boxes are
-    pairwise disjoint, dispatching the fused program only then and the
-    sequential one otherwise.  Pixel-exactness follows from the same
-    argument as _fuse_instance_runs: with disjoint covers the instanced
-    stencil's early winding accumulation is invisible.
-
-    Returns None when nothing fuses, else a _FusionPlan with:
-
-    - ``commands``: the fused command list;
-    - ``gather``: int32 row indices mapping the sequential (opt-layout)
-      transform stack onto the fused layout;
-    - ``runs``: per fused run ``(shape, stencil_rows, cover_rows)``
-      opt-layout row indices for the per-call validity check.
-    """
+def _structural_runs(commands):
+    """Maximal fusable runs of >= 2 pairs in the optimized command
+    list (transform values excluded from the structural test — a
+    FrameProgram's transforms are runtime inputs).  Returns a list of
+    _FusionRun with opt-layout row indices per pair."""
     rows_before = np.cumsum([0] + [c.n_instances for c in commands])
-    out = []
-    gather = []
     runs = []
     i = 0
     n = len(commands)
-    fused_any = False
     while i < n:
         run, next_i = _collect_fusable_run(
             commands, i, check_transforms=False
         )
         if len(run) < 2:
-            upto = next_i if run else i + 1
-            for j in range(i, upto):
-                gather.extend(range(rows_before[j], rows_before[j + 1]))
-                out.append(commands[j])
-            i = upto
+            i = next_i if run else i + 1
             continue
-        fused_any = True
-        stencil_rows = rows_before[np.arange(i, next_i, 2)]
-        cover_rows = stencil_rows + 1
-        transforms = np.ascontiguousarray(
-            np.stack([
-                np.asarray(p[0].transform, np.float32) for p in run
-            ])
+        r = _FusionRun()
+        r.start = i
+        r.pairs = run
+        r.shape = run[0][0].shape
+        r.stencil_rows = rows_before[np.arange(i, next_i, 2)].astype(
+            np.int64
         )
-        if _paint_kind(run[0][1].color):
-            color = run[0][1].color
+        r.cover_rows = r.stencil_rows + 1
+        r.escape = _run_overlap_escape(run)
+        runs.append(r)
+        i = next_i
+    return runs
+
+
+def _run_boxes(shape: "Shape", transforms):
+    """Projected covers of one shape under a stack of transforms:
+    ``(boxes (m, 4) NDC min/max, ok (m,) bool, polys (m, h, 2))`` — ok
+    is False where the projection is not well-defined (near-plane
+    crossing / non-finite), vectorizing _cover_box over the run.
+    ``polys`` are the projected hull polygons, the EXACT cover regions
+    the kernel rasterizes (the boxes are their conservative AABBs)."""
+    hull = np.asarray(shape.convex_hull, np.float64)
+    m = len(transforms)
+    if len(hull) == 0:
+        return np.zeros((m, 4)), np.zeros(m, bool), np.zeros((m, 1, 2))
+    hom = np.concatenate(
+        [hull, np.zeros((len(hull), 1)), np.ones((len(hull), 1))], axis=1
+    )
+    clip = np.einsum(
+        "mrk,hk->mhr", np.asarray(transforms, np.float64), hom
+    )
+    w = clip[..., 3]
+    ok = np.all(w > _FUSE_W_EPS, axis=-1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ndc = clip[..., :2] / np.where(
+            w[..., None] > _FUSE_W_EPS, w[..., None], 1.0
+        )
+    ok &= np.all(np.isfinite(ndc), axis=(1, 2))
+    boxes = np.concatenate([ndc.min(axis=1), ndc.max(axis=1)], axis=-1)
+    return boxes, ok, ndc
+
+
+def _convex_polys_disjoint(pa, pb) -> bool:
+    """Strict separating-axis test between two convex screen polygons
+    of either winding: True iff some edge line of one polygon has the
+    whole other polygon STRICTLY on its outer side.  Touching polygons
+    count as overlapping (a shared boundary could carry the same sample
+    point); degenerate polygons conservatively count as overlapping."""
+    for first, second in ((pa, pb), (pb, pa)):
+        e = np.roll(first, -1, axis=0) - first
+        nx, ny = e[:, 1], -e[:, 0]
+        c = -(nx * first[:, 0] + ny * first[:, 1])
+        centroid = first.mean(axis=0)
+        side = nx * centroid[0] + ny * centroid[1] + c
+        flip = np.where(side > 0.0, -1.0, 1.0)
+        nx, ny, c = nx * flip, ny * flip, c * flip
+        d = (
+            nx[:, None] * second[None, :, 0]
+            + ny[:, None] * second[None, :, 1]
+            + c[:, None]
+        )
+        if bool(np.any(np.all(d > 0.0, axis=1))):
+            return True
+    return False
+
+
+def _covers_disjoint(boxes, polys, i, j) -> bool:
+    """Exact cover disjointness of pair ``i`` vs ``j``: the cheap AABB
+    test first, the polygon SAT only when the boxes touch (covers are
+    the hull polygons, so box contact alone does not make them
+    interact — e.g. rotated grid cells whose AABBs overlap while the
+    cells stay apart)."""
+    if _boxes_disjoint(boxes[i], boxes[j]):
+        return True
+    return _convex_polys_disjoint(polys[i], polys[j])
+
+
+def _poly_orientation_signs(polys):
+    """Sign of the signed area of each projected hull polygon (m, h, 2)
+    — the orientation parity of each instance's screen mapping."""
+    x, y = polys[..., 0], polys[..., 1]
+    area2 = np.sum(
+        x * np.roll(y, -1, axis=1) - np.roll(x, -1, axis=1) * y, axis=1
+    )
+    return np.sign(area2)
+
+
+#: Blend states under which painting the SAME opaque color twice at a
+#: sample equals painting it once (canonical (src, op, dst) forms of
+#: back_to_front source-over and front_to_back) — the precondition of
+#: the uniform-opaque-color fusion escape, _run_overlap_escape.
+def _idempotent_blend(blending) -> bool:
+    canonical = (
+        blending if isinstance(blending, str) else blending.canonical()
+    )
+    return canonical in ("back_to_front", "front_to_back")
+
+
+def _run_overlap_escape(pairs) -> bool:
+    """True when every pair of a fusable run paints the SAME opaque
+    solid color — then the fused instanced draw is pixel-exact even
+    where covers overlap (given an idempotent blend state, no depth
+    state, and uniform orientation parity, checked per frame):
+
+    Overlap changes only WHICH cover paints a shared sample and HOW
+    MANY times — with one opaque color under an idempotent blend both
+    are invisible, and winding borrowed across instances cannot cancel
+    when every instance maps with the same orientation sign.  This is
+    what makes dense grids (the showcase's 46 rounded cells, whose
+    hulls genuinely interleave) fuse as ONE instanced draw across a
+    whole camera orbit — the reference's unconditional
+    instance_range 0..n draw (renderer.rs:267, 462-466), with the
+    soundness conditions made explicit."""
+    first = _solid_rgba(pairs[0][1].color)
+    if first is None or first[3] != 1.0:
+        return False
+    return all(
+        _solid_rgba(c.color) == first for _, c in pairs[1:]
+    )
+
+
+def _greedy_box_groups(boxes, ok, polys):
+    """Greedy disjoint grouping in walk order (the rule of
+    _fuse_instance_runs, sharpened to exact hull-polygon disjointness):
+    a pair joins the current group iff its cover is well-defined and
+    disjoint from every cover already in the group.  Returns a tuple of
+    tuples of pair indices."""
+    groups = []
+    current = []
+    for i in range(len(boxes)):
+        if ok[i] and all(
+            _covers_disjoint(boxes, polys, i, j) for j in current
+        ):
+            current.append(i)
         else:
-            color = np.ascontiguousarray(
+            if current:
+                groups.append(tuple(current))
+            current = [i]
+            if not ok[i]:
+                # A boxless (near-plane) pair may never accept
+                # neighbours: close its group immediately.
+                groups.append(tuple(current))
+                current = []
+    if current:
+        groups.append(tuple(current))
+    return tuple(groups)
+
+
+class _FusionPlan:
+    """A concrete grouping of a FrameProgram's structural runs: the
+    fused command list, the opt-layout→fused-layout row gather, and
+    per fused group the rows to re-validate each call."""
+
+    __slots__ = ("commands", "gather", "groups", "signature")
+
+
+def _plan_for_groups(commands, runs, groupings):
+    """Fused command list for one grouping choice.
+
+    ``groupings[k]`` is ``(groups, escape)`` for ``runs[k]``: a tuple
+    of tuples of pair indices (from _greedy_box_groups, or one
+    all-pairs group under the overlap escape) plus whether the escape
+    validation regime applies.  Groups of >= 2 pairs become one
+    instanced (STENCIL, COLOR) pair — the reference's
+    ``instance_range 0..n`` draw (renderer.rs:267, 462-466); singleton
+    groups keep their original sequential pair.  Returns None when no
+    group fuses (the sequential program is the plan)."""
+    rows_before = np.cumsum([0] + [c.n_instances for c in commands])
+    run_at = {r.start: (r, g) for r, g in zip(runs, groupings)}
+    out = []
+    gather = []
+    groups_meta = []
+    fused_any = False
+    i = 0
+    n = len(commands)
+    while i < n:
+        hit = run_at.get(i)
+        if hit is None:
+            gather.extend(range(rows_before[i], rows_before[i + 1]))
+            out.append(commands[i])
+            i += 1
+            continue
+        r, (grouping, escape) = hit
+        for group in grouping:
+            if len(group) < 2:
+                for gi in group:
+                    s, c = r.pairs[gi]
+                    out.append(s)
+                    out.append(c)
+                    gather.append(int(r.stencil_rows[gi]))
+                    gather.append(int(r.cover_rows[gi]))
+                continue
+            fused_any = True
+            idx = list(group)
+            transforms = np.ascontiguousarray(
                 np.stack([
-                    np.asarray(p[1].color, np.float32).reshape(4)
-                    for p in run
+                    np.asarray(r.pairs[gi][0].transform, np.float32)
+                    for gi in idx
                 ])
             )
-        out.append(replace(run[0][0], transform=transforms))
-        out.append(
-            replace(run[0][1], transform=transforms, color=color)
-        )
-        gather.extend(int(r) for r in stencil_rows)
-        gather.extend(int(r) for r in cover_rows)
-        runs.append(
-            (
-                run[0][0].shape,
-                stencil_rows.astype(np.int64),
-                cover_rows.astype(np.int64),
+            first_color = r.pairs[0][1].color
+            if _paint_kind(first_color):
+                color = first_color
+            else:
+                color = np.ascontiguousarray(
+                    np.stack([
+                        np.asarray(
+                            r.pairs[gi][1].color, np.float32
+                        ).reshape(4)
+                        for gi in idx
+                    ])
+                )
+            out.append(replace(r.pairs[idx[0]][0], transform=transforms))
+            out.append(
+                replace(
+                    r.pairs[idx[0]][1], transform=transforms, color=color
+                )
             )
-        )
-        i = next_i
+            srows = [int(r.stencil_rows[gi]) for gi in idx]
+            crows = [int(r.cover_rows[gi]) for gi in idx]
+            gather.extend(srows)
+            gather.extend(crows)
+            groups_meta.append(
+                (
+                    r.shape,
+                    np.asarray(srows, np.int64),
+                    np.asarray(crows, np.int64),
+                    escape,
+                )
+            )
+        i = r.start + 2 * len(r.pairs)
     if not fused_any:
         return None
     plan = _FusionPlan()
     plan.commands = out
     plan.gather = np.asarray(gather, np.int32)
-    plan.runs = runs
-    return plan
-
-
-def _run_boxes_disjoint(shape, transforms) -> bool:
-    """True iff every instance's projected cover box is well-defined
-    and pairwise disjoint from the others (vectorized closed-box
-    test over the run)."""
-    boxes = []
-    for t in transforms:
-        box = _cover_box(shape, t)
-        if box is None:
-            return False
-        boxes.append(box)
-    b = np.asarray(boxes)
-    disjoint = (
-        (b[:, None, 2] < b[None, :, 0])
-        | (b[None, :, 2] < b[:, None, 0])
-        | (b[:, None, 3] < b[None, :, 1])
-        | (b[None, :, 3] < b[:, None, 1])
+    plan.groups = groups_meta
+    plan.signature = tuple(
+        (escape,) + tuple(tuple(g) for g in grouping)
+        for grouping, escape in groupings
     )
-    np.fill_diagonal(disjoint, True)
-    return bool(disjoint.all())
+    return plan
 
 
 class _SceneArrays:
@@ -1335,11 +1541,27 @@ class Renderer:
         ``blend_constant`` (RGBA or None): when the blend state uses
         constant factors, the runtime constant is appended as cmd_f
         columns 20:24 (broadcast to every row).
+
+        User paints pack as code ``UserPaint.kind + i`` with ``i`` the
+        first-appearance index of the paint's ``fn`` in the command
+        walk — the same ordering coverage.make_rasterize derives from
+        FrameSpec.paints, so the runtime dispatch and the compiled
+        branches agree.
         """
+        user_codes = {}
+
+        def paint_code(color):
+            kind = _paint_kind(color)
+            if kind < UserPaint.kind:
+                return kind
+            return UserPaint.kind + user_codes.setdefault(
+                id(color.fn), len(user_codes)
+            )
+
         cmd_i = np.array(
             [
                 [int(c.operation), c.clip_depth, c.alpha_layer,
-                 _paint_kind(c.color)]
+                 paint_code(c.color)]
                 for c in commands
             ],
             np.int32,
@@ -1352,6 +1574,10 @@ class Renderer:
         rows = []
         for c in commands:
             if c.operation == RenderOperation.STENCIL:
+                continue
+            if _paint_kind(c.color) >= UserPaint.kind:
+                # User paints read px/py/anchor, not the stop table.
+                rows.append(np.zeros((c.n_instances, 20), np.float32))
                 continue
             if _paint_kind(c.color):
                 offsets, colors = c.color.stop_table()
@@ -1549,7 +1775,7 @@ class Renderer:
         cmd_shape = tuple(shape_index[id(c.shape)] for c in commands)
         inst = tuple(c.n_instances for c in commands)
         cmd_inst = inst if any(n != 1 for n in inst) else ()
-        paints = tuple(_paint_kind(c.color) for c in commands)
+        paints = tuple(_spec_paint(c.color) for c in commands)
         paint_model = self._pack_paints(commands)
         transforms = self._pack_transforms(commands)
         require_finite(transforms, "command transforms")
@@ -1788,10 +2014,12 @@ class FrameProgram:
         self._opt_commands = opt
         self._shapes, _ = renderer._unique_shapes(opt)
         #: Auto-instancing (the render()-path _fuse_instance_runs, but
-        #: with transforms as runtime inputs): the fused variant
-        #: compiles lazily and dispatches only on frames whose
-        #: transforms keep every run's covers pairwise disjoint.
-        self._fusion = _plan_fusion(opt) if renderer.auto_instance else None
+        #: with transforms as runtime inputs): fusable runs are
+        #: detected structurally here; each call greedily groups them
+        #: by cover disjointness under the frame's actual transforms
+        #: and dispatches a per-grouping compiled variant (bounded
+        #: cache), falling back to the sequential walk otherwise.
+        self._runs = _structural_runs(opt) if renderer.auto_instance else []
         # Settle binning capacities with strict prepares so the
         # compiled program starts at converged sizes.  Two probe
         # orientations: the natural frame under-counts per-tile entries
@@ -1867,13 +2095,21 @@ class FrameProgram:
         self._scene = scene
         self._seq = self._build_variant(self._opt_commands)
         # The program's observable spec is the sequential variant's
-        # (the fused one differs only in command structure).
+        # (fused ones differ only in command structure).
         self._spec = self._seq.spec
-        self._fused = (
-            self._build_variant(self._fusion.commands)
-            if self._fusion is not None
-            else None
-        )
+        #: grouping signature -> (plan, variant); rebuilt empty so new
+        #: capacities apply to every future fused compile.
+        self._fused_variants = {}
+        self._plan = None
+        if self._runs:
+            plan = self._derive_plan(
+                Renderer._pack_transforms(self._opt_commands)
+            )
+            if plan is not None:
+                self._plan = plan
+                self._fused_variants[plan.signature] = (
+                    plan, self._build_variant(plan.commands)
+                )
 
     def _build_variant(self, opt_commands) -> "_ProgramVariant":
         """Compile one command-walk variant (jit is lazy: a variant
@@ -1883,7 +2119,7 @@ class FrameProgram:
         _, shape_index = renderer._unique_shapes(opt_commands)
         ops = tuple(int(c.operation) for c in opt_commands)
         cmd_shape = tuple(shape_index[id(c.shape)] for c in opt_commands)
-        paints = tuple(_paint_kind(c.color) for c in opt_commands)
+        paints = tuple(_spec_paint(c.color) for c in opt_commands)
         inst = tuple(c.n_instances for c in opt_commands)
         cmd_inst = inst if any(n != 1 for n in inst) else ()
         spec = renderer._spec(ops, cmd_shape, cmd_inst, scene, paints)
@@ -1959,8 +2195,8 @@ class FrameProgram:
         return v
 
     def _variants(self):
-        return (self._seq,) if self._fused is None else (
-            self._seq, self._fused
+        return (self._seq,) + tuple(
+            v for _, v in self._fused_variants.values()
         )
 
     def _refresh_cmd_f(self):
@@ -1977,25 +2213,124 @@ class FrameProgram:
                 )
                 v.cmd_f = jnp.asarray(cmd_f)
 
-    def _fused_transforms_if_valid(self, transforms):
-        """The fused-layout transform stack when this frame's
-        transforms keep the fusion plan pixel-exact, else None.
+    def _escape_allowed(self, r) -> bool:
+        """Whether the uniform-opaque-color overlap escape (see
+        _run_overlap_escape) may apply to run ``r`` under this
+        renderer's pipeline state: idempotent blend, no depth
+        test/write, and winding headroom for the summed instances."""
+        config = self._renderer.config
+        return (
+            r.escape
+            and _idempotent_blend(config.blending)
+            and config.depth_compare == "always"
+            and not config.depth_write_enabled
+            and len(r.pairs)
+            <= (1 << (config.winding_counter_bits - 1)) - 1
+        )
 
-        Valid iff for every fused run (a) each pair's stencil and cover
-        rows are bit-equal (fused draws share one row per instance) and
-        (b) the run's projected cover boxes are well-defined and
-        pairwise disjoint (so the instanced stencil's early winding
-        accumulation is invisible — same soundness rule as
-        _fuse_instance_runs, re-derived per frame under camera motion).
+    @staticmethod
+    def _rows_equal(transforms, srows, crows) -> bool:
+        return np.array_equal(transforms[srows], transforms[crows])
+
+    def _derive_plan(self, transforms):
+        """Grouping of every structural run under the given opt-layout
+        transforms → a _FusionPlan, or None when nothing fuses.
+
+        Runs eligible for the overlap escape fuse whole (one instanced
+        draw) whenever every projection is well-defined with uniform
+        orientation parity; other runs group greedily by exact cover
+        disjointness (the _fuse_instance_runs rule on runtime values).
         """
-        for shape, stencil_rows, cover_rows in self._fusion.runs:
-            if not np.array_equal(
-                transforms[stencil_rows], transforms[cover_rows]
+        groupings = []
+        for r in self._runs:
+            boxes, ok, polys = _run_boxes(
+                r.shape, transforms[r.stencil_rows]
+            )
+            # Pairs whose stencil and cover rows differ can never fuse
+            # (a fused draw shares one transform row per instance).
+            for k, (s, c) in enumerate(
+                zip(r.stencil_rows, r.cover_rows)
             ):
+                if ok[k] and not np.array_equal(
+                    transforms[s], transforms[c]
+                ):
+                    ok[k] = False
+            if self._escape_allowed(r) and ok.all():
+                signs = _poly_orientation_signs(polys)
+                if signs[0] != 0.0 and np.all(signs == signs[0]):
+                    groupings.append(
+                        ((tuple(range(len(r.pairs))),), True)
+                    )
+                    continue
+            groupings.append((_greedy_box_groups(boxes, ok, polys), False))
+        return _plan_for_groups(self._opt_commands, self._runs, groupings)
+
+    def _plan_transforms_if_valid(self, plan, transforms):
+        """The fused-layout transform stack when this frame's
+        transforms keep ``plan`` pixel-exact, else None.
+
+        Escape groups (uniform opaque color) need equal stencil/cover
+        rows, well-defined projections, and uniform orientation parity;
+        disjointness groups additionally need pairwise-disjoint cover
+        polygons (the _fuse_instance_runs soundness rule, re-checked
+        per frame under camera motion)."""
+        for shape, srows, crows, escape in plan.groups:
+            if not self._rows_equal(transforms, srows, crows):
                 return None
-            if not _run_boxes_disjoint(shape, transforms[stencil_rows]):
+            boxes, ok, polys = _run_boxes(shape, transforms[srows])
+            if not ok.all():
                 return None
-        return np.ascontiguousarray(transforms[self._fusion.gather])
+            if escape:
+                signs = _poly_orientation_signs(polys)
+                if signs[0] == 0.0 or not np.all(signs == signs[0]):
+                    return None
+                continue
+            disjoint = (
+                (boxes[:, None, 2] < boxes[None, :, 0])
+                | (boxes[None, :, 2] < boxes[:, None, 0])
+                | (boxes[:, None, 3] < boxes[None, :, 1])
+                | (boxes[None, :, 3] < boxes[:, None, 1])
+            )
+            np.fill_diagonal(disjoint, True)
+            if not disjoint.all():
+                # AABB contact: the covers themselves (hull polygons)
+                # may still be apart — exact SAT on the touching pairs.
+                for i, j in zip(*np.nonzero(~disjoint)):
+                    if i < j and not _convex_polys_disjoint(
+                        polys[i], polys[j]
+                    ):
+                        return None
+        return np.ascontiguousarray(transforms[plan.gather])
+
+    #: Distinct fused groupings compiled per program.  Camera motion
+    #: that keeps re-grouping the scene past this many variants stays
+    #: on the sequential walk instead of compile-thrashing.
+    MAX_FUSED_VARIANTS = 4
+
+    def _try_fused(self, transforms):
+        """(variant, fused-layout transforms) for this frame, or None
+        to dispatch the sequential walk.  The active plan re-validates
+        against the frame's transforms; when motion breaks its
+        grouping, a fresh greedy grouping is derived and its variant
+        compiled on demand (cached by grouping signature)."""
+        if self._plan is not None:
+            tf = self._plan_transforms_if_valid(self._plan, transforms)
+            if tf is not None:
+                return (
+                    self._fused_variants[self._plan.signature][1], tf
+                )
+        plan = self._derive_plan(transforms)
+        if plan is None:
+            self._plan = None
+            return None
+        hit = self._fused_variants.get(plan.signature)
+        if hit is None:
+            if len(self._fused_variants) >= self.MAX_FUSED_VARIANTS:
+                return None
+            hit = (plan, self._build_variant(plan.commands))
+            self._fused_variants[plan.signature] = hit
+        self._plan = hit[0]
+        return hit[1], np.ascontiguousarray(transforms[hit[0].gather])
 
     #: Frames an unconsumed overflow counter may age before the host
     #: blocks on it.  Overflow only fires when a moving scene outgrows
@@ -2094,11 +2429,10 @@ class FrameProgram:
         self._sync()
         self._refresh_cmd_f()
         variant = self._seq
-        if self._fused is not None:
-            fused_tf = self._fused_transforms_if_valid(transforms)
-            if fused_tf is not None:
-                variant = self._fused
-                transforms = fused_tf
+        if self._runs:
+            fused = self._try_fused(transforms)
+            if fused is not None:
+                variant, transforms = fused
         desc_f, desc_i = Renderer._pack_descriptors(self._shapes)
         desc_static = np.ascontiguousarray(desc_i[:, [9, 8]])
         args = (
@@ -2164,14 +2498,16 @@ class FrameProgram:
         self._sync()
         self._refresh_cmd_f()
         variant = self._seq
-        if self._fused is not None:
-            # One program renders the whole scan, so the fused variant
-            # dispatches only when EVERY frame of the segment validates.
+        if self._runs and self._plan is not None:
+            # One program renders the whole scan, so the active fused
+            # plan dispatches only when EVERY frame of the segment
+            # validates under it.
             fused_frames = [
-                self._fused_transforms_if_valid(t) for t in transforms
+                self._plan_transforms_if_valid(self._plan, t)
+                for t in transforms
             ]
             if all(f is not None for f in fused_frames):
-                variant = self._fused
+                variant = self._fused_variants[self._plan.signature][1]
                 transforms = np.ascontiguousarray(
                     np.stack(fused_frames)
                 )

@@ -347,6 +347,203 @@ def shape_of_text(
     )
 
 
+def glyph_shape(face: Face, glyph_id: int):
+    """Renderer Shape of one glyph in FONT UNITS, cached on the face.
+
+    One tessellation serves every size and every instance: scale and
+    pen position live in the per-instance transform (the reference
+    keeps per-glyph vertex buffers and draws them instanced,
+    text.rs:97-104 + renderer.rs:462-466).  Returns None for glyphs
+    with no outline (spaces, empty glyphs)."""
+    cache = getattr(face, "_glyph_shape_cache", None)
+    if cache is None:
+        cache = {}
+        face._glyph_shape_cache = cache
+    if glyph_id not in cache:
+        from .renderer import Shape
+
+        table, ghull = glyph_triangle_table(face, glyph_id)
+        cache[glyph_id] = (
+            Shape.from_triangle_table(table, ghull)
+            if len(table)
+            else None
+        )
+    return cache[glyph_id]
+
+
+def _flag_overlapping_boxes(boxes: np.ndarray) -> np.ndarray:
+    """Bool mask of boxes (N, 4 = x0, y0, x1, y1) that overlap at least
+    one other box (closed-box test), by an x-sweep with an active list
+    pruned by x1 — near-linear for laid-out text, whose ink boxes
+    rarely overlap."""
+    n = len(boxes)
+    flagged = np.zeros(n, bool)
+    order = np.argsort(boxes[:, 0], kind="stable")
+    active: List[int] = []
+    for idx in order:
+        x0 = boxes[idx, 0]
+        active = [j for j in active if boxes[j, 2] >= x0]
+        for j in active:
+            if not (boxes[idx, 3] < boxes[j, 1]
+                    or boxes[j, 3] < boxes[idx, 1]):
+                flagged[idx] = True
+                flagged[j] = True
+        active.append(idx)
+    return flagged
+
+
+def text_commands(
+    face: Face,
+    layout: Layout,
+    text: str,
+    transform: np.ndarray,
+    color=(0.0, 0.0, 0.0, 1.0),
+    clipping_area: Optional[np.ndarray] = None,
+    clip_depth: int = 0,
+    alpha_layer: int = 0,
+) -> list:
+    """Instanced draw commands for a string: one (STENCIL, COLOR) pair
+    per unique glyph with an (N, 4, 4) per-instance transform stack —
+    the reference's instanced draw over per-glyph vertex buffers
+    (text.rs:97-104, renderer.rs:462-466).
+
+    Where ``shape_of_text`` stamps every instance into one monolithic
+    triangle table (10k glyphs → a 296k-triangle shape whose binning
+    re-runs in full on any camera change), this form bins each unique
+    glyph's triangles once per command: real text reuses ~100 unique
+    glyphs across thousands of instances, so binning geometry shrinks
+    by ~instances/unique.
+
+    Pixel semantics: same-glyph instances whose projected cover boxes
+    overlap on screen — or whose projection crosses the near plane —
+    are split out of the instanced pair into sequential ones, so an
+    instanced pair is always pixel-exact against the sequential walk.
+    Instances of DIFFERENT glyphs render as separate commands in glyph
+    order (first occurrence); where their covers overlap (combining
+    marks, extreme kerning) the covers composite sequentially rather
+    than under the monolith's joint nonzero winding — identical
+    per-sample output for opaque source-over color, slightly darker
+    overlap for translucent color.
+
+    ``transform``: the (4, 4) layout→clip matrix shared by the whole
+    string (pen position and ``layout.size`` scaling compose into each
+    instance's transform here).
+    """
+    from .renderer import DrawCommand, RenderOperation
+
+    transform = np.asarray(transform, np.float64)
+    if transform.shape != (4, 4):
+        raise ValueError("text_commands takes a single (4, 4) transform")
+    _extent, _offset, lines = _calculate_aligned_positions(
+        face, layout, text
+    )
+    scale = layout.size / face.height()
+    by_glyph: dict = {}
+    for _line_range_end, glyph_positions in lines:
+        for (x, y), glyph_id in glyph_positions[:-1]:
+            if clipping_area is not None:
+                bbox = face.glyph_bounding_box(glyph_id)
+                if bbox is not None:
+                    aabb = [
+                        (bbox[0] + x) * scale,
+                        (bbox[1] + y) * scale,
+                        (bbox[2] + x) * scale,
+                        (bbox[3] + y) * scale,
+                    ]
+                    if not ga2d.do_convex_polygons_overlap(
+                        ga2d.aabb_to_convex_polygon(aabb), clipping_area
+                    ):
+                        continue
+            by_glyph.setdefault(glyph_id, []).append((x, y))
+
+    w_eps = 1e-6
+    commands = []
+    for glyph_id, positions in by_glyph.items():
+        shape = glyph_shape(face, glyph_id)
+        if shape is None:
+            continue
+        offsets = np.asarray(positions, np.float64) * scale  # (m, 2)
+        m = len(offsets)
+        # Per-instance model→clip: glyph font units p ↦
+        # transform · (scale·p + offset).
+        stack = np.broadcast_to(transform, (m, 4, 4)).copy()
+        stack[:, :, 0] = transform[:, 0] * scale
+        stack[:, :, 1] = transform[:, 1] * scale
+        stack[:, :, 3] = (
+            transform[:, 3]
+            + offsets[:, 0:1] * transform[:, 0]
+            + offsets[:, 1:2] * transform[:, 1]
+        )
+        stack32 = np.ascontiguousarray(stack.astype(np.float32))
+
+        # Screen cover boxes of every instance (vectorized): the
+        # glyph's convex ink hull under each instance transform.
+        hull = np.asarray(shape.convex_hull, np.float64)
+        if len(hull):
+            pts = hull[None] * scale + offsets[:, None, :]  # layout units
+            hom = np.concatenate(
+                [
+                    pts,
+                    np.zeros(pts.shape[:-1] + (1,)),
+                    np.ones(pts.shape[:-1] + (1,)),
+                ],
+                axis=-1,
+            )  # (m, h, 4)
+            clip = hom @ transform.T
+            w = clip[..., 3]
+            ok = np.all(w > w_eps, axis=-1)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                ndc = clip[..., :2] / w[..., None]
+            ok &= np.all(np.isfinite(ndc), axis=(-2, -1))
+            boxes = np.concatenate(
+                [ndc.min(axis=1), ndc.max(axis=1)], axis=-1
+            )
+        else:
+            ok = np.zeros(m, bool)
+            boxes = np.zeros((m, 4))
+
+        sequential = ~ok
+        if ok.any():
+            flagged = np.zeros(m, bool)
+            valid_ix = np.flatnonzero(ok)
+            flags = _flag_overlapping_boxes(boxes[valid_ix])
+            flagged[valid_ix] = flags
+            sequential |= flagged
+        grouped = np.flatnonzero(~sequential)
+
+        if len(grouped) >= 2:
+            tf = stack32[grouped]
+            commands.append(
+                DrawCommand(
+                    RenderOperation.STENCIL, shape, tf,
+                    clip_depth=clip_depth, alpha_layer=alpha_layer,
+                )
+            )
+            commands.append(
+                DrawCommand(
+                    RenderOperation.COLOR, shape, tf, color=color,
+                    clip_depth=clip_depth, alpha_layer=alpha_layer,
+                )
+            )
+            singles = np.flatnonzero(sequential)
+        else:
+            singles = np.arange(m)
+        for i in singles:
+            commands.append(
+                DrawCommand(
+                    RenderOperation.STENCIL, shape, stack32[i],
+                    clip_depth=clip_depth, alpha_layer=alpha_layer,
+                )
+            )
+            commands.append(
+                DrawCommand(
+                    RenderOperation.COLOR, shape, stack32[i], color=color,
+                    clip_depth=clip_depth, alpha_layer=alpha_layer,
+                )
+            )
+    return commands
+
+
 @dataclass
 class TextGeometry:
     """Bounding box and per-line glyph positions for caret math

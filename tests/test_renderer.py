@@ -1328,6 +1328,127 @@ class TestGradientPaints:
             )
 
 
+class TestUserPaint:
+    """renderer.UserPaint: user-supplied JAX-traceable paint functions
+    compiled into the cover composite — the reference's user-defined
+    shader hook (README.md:28-33 via custom wgpu pipelines,
+    lib.rs:4-7)."""
+
+    def test_checkerboard_matches_oracle(self, renderer):
+        import jax.numpy as jnp
+
+        from contrast_renderer_tpu.renderer import UserPaint
+
+        def checker(px, py, anchor):
+            c = ((jnp.floor(px / 8.0) + jnp.floor(py / 8.0)) % 2.0)
+            return c, 1.0 - c, jnp.zeros_like(c), jnp.ones_like(c)
+
+        rect = Shape([Path.from_rect((32, 32), (24, 24))])
+        image = renderer.render(
+            [
+                DrawCommand(RenderOperation.STENCIL, rect, ortho()),
+                DrawCommand(
+                    RenderOperation.COLOR, rect, ortho(),
+                    color=UserPaint(checker),
+                ),
+            ]
+        )
+        pos = oracle.sample_positions(SIZE, SIZE)   # screen space
+        c = (np.floor(pos[..., 0] / 8.0) + np.floor(pos[..., 1] / 8.0)) % 2.0
+        xy = model_xy()
+        inside = (np.abs(xy[..., 0] - 32) <= 24) & (
+            np.abs(xy[..., 1] - 32) <= 24
+        )
+        want = np.stack(
+            [c, 1.0 - c, np.zeros_like(c), np.ones_like(c)], axis=-1
+        ) * inside[..., None]
+        assert np.abs(image - want.mean(axis=2)).max() < 1e-4
+
+    def test_user_linear_ramp_matches_builtin_gradient(self, renderer):
+        """A UserPaint re-implementing the 2-stop linear ramp through
+        the anchor points must match LinearGradient (same projection,
+        same per-sample math)."""
+        import jax.numpy as jnp
+
+        from contrast_renderer_tpu.renderer import (
+            LinearGradient, UserPaint)
+
+        c0 = (1.0, 0.0, 0.0, 1.0)
+        c1 = (0.0, 0.0, 1.0, 0.5)
+
+        def ramp(px, py, anchor):
+            x0, y0, x1, y1 = anchor
+            dx, dy = x1 - x0, y1 - y0
+            den = jnp.maximum(dx * dx + dy * dy, 1e-12)
+            t = jnp.clip(((px - x0) * dx + (py - y0) * dy) / den, 0.0, 1.0)
+            return (
+                c0[0] + (c1[0] - c0[0]) * t,
+                c0[1] + (c1[1] - c0[1]) * t,
+                c0[2] + (c1[2] - c0[2]) * t,
+                c0[3] + (c1[3] - c0[3]) * t,
+            )
+
+        rect = Shape([Path.from_rect((32, 32), (24, 24))])
+
+        def render_with(paint):
+            return renderer.render(
+                [
+                    DrawCommand(RenderOperation.STENCIL, rect, ortho()),
+                    DrawCommand(
+                        RenderOperation.COLOR, rect, ortho(), color=paint
+                    ),
+                ]
+            )
+
+        user = render_with(
+            UserPaint(ramp, points=((16.0, 32.0), (48.0, 32.0)))
+        )
+        builtin = render_with(
+            LinearGradient(
+                start=(16.0, 32.0), end=(48.0, 32.0),
+                color0=c0, color1=c1,
+            )
+        )
+        assert np.abs(user - builtin).max() < 1e-5
+
+    def test_two_distinct_fns_in_one_frame(self, renderer):
+        import jax.numpy as jnp
+
+        from contrast_renderer_tpu.renderer import UserPaint
+
+        def solid_red(px, py, anchor):
+            one = jnp.ones_like(px)
+            return one, 0.0 * one, 0.0 * one, one
+
+        def solid_green(px, py, anchor):
+            one = jnp.ones_like(px)
+            return 0.0 * one, one, 0.0 * one, one
+
+        a = Shape([Path.from_rect((16, 32), (10, 10))])
+        b = Shape([Path.from_rect((48, 32), (10, 10))])
+        image = renderer.render(
+            stencil_color(a, ortho(), UserPaint(solid_red))
+            + stencil_color(b, ortho(), UserPaint(solid_green))
+        )
+        xy = model_xy()
+        in_a = (np.abs(xy[..., 0] - 16) <= 10) & (
+            np.abs(xy[..., 1] - 32) <= 10
+        )
+        in_b = (np.abs(xy[..., 0] - 48) <= 10) & (
+            np.abs(xy[..., 1] - 32) <= 10
+        )
+        want = np.stack(
+            [
+                in_a.astype(np.float32),
+                in_b.astype(np.float32),
+                np.zeros(in_a.shape, np.float32),
+                (in_a | in_b).astype(np.float32),
+            ],
+            axis=-1,
+        ).mean(axis=2)
+        assert np.abs(image - want).max() < 1e-4
+
+
 class TestRenderSequence:
     def test_sequence_matches_per_frame(self, renderer):
         """render_sequence (one dispatch, lax.scan over frames) produces
@@ -1525,33 +1646,64 @@ class TestFrameProgramFusion:
         )
         r = Renderer(Configuration(), SIZE, SIZE)
         program = r.compile_frame(commands)
-        assert program._fusion is not None
-        assert len(program._fusion.commands) == 2
+        assert program._runs and program._plan is not None
+        assert len(program._plan.commands) == 2
         want = Renderer(
             Configuration(), SIZE, SIZE, auto_instance=False
         ).render(commands)
         assert np.array_equal(np.asarray(program()), want)
 
-    def test_camera_motion_falls_back_when_covers_touch(self):
+    def test_camera_motion_regroups_when_covers_touch(self):
         shape = Shape([Path.from_circle((8.0, 8.0), 7.0)])
         commands = self._commands(shape, [(0.0, 0.0), (40.0, 0.0)])
         r = Renderer(Configuration(), SIZE, SIZE)
         program = r.compile_frame(commands)
         seq = Renderer(Configuration(), SIZE, SIZE, auto_instance=False)
-        # Slide the second instance onto the first: covers overlap,
-        # the fused plan invalidates, the sequential walk must render
+        # Slide the second instance onto the first: covers overlap, the
+        # active plan invalidates, the derived grouping degenerates to
+        # singles (no fused variant), and the sequential walk renders
         # the exact blended result.
         moved = self._commands(shape, [(0.0, 0.0), (6.0, 4.0)])
         transforms = Renderer._pack_transforms(moved)
-        assert program._fused_transforms_if_valid(transforms) is None
+        assert program._plan_transforms_if_valid(
+            program._plan, transforms
+        ) is None
+        assert program._derive_plan(transforms) is None
         assert np.array_equal(
             np.asarray(program(transforms)), seq.render(moved)
         )
-        # And back apart: the fused variant revalidates and matches.
+        assert program._plan is None  # fell back
+        # And back apart: the original grouping re-derives, hits the
+        # variant cache, and matches again.
         apart = Renderer._pack_transforms(commands)
-        assert program._fused_transforms_if_valid(apart) is not None
         assert np.array_equal(
             np.asarray(program(apart)), seq.render(commands)
+        )
+        assert program._plan is not None
+
+    def test_partial_overlap_regroups_into_disjoint_groups(self):
+        """Three instances where the second overlaps the first: the
+        derived grouping splits render()-style — (first) + (second,
+        third) — instead of abandoning fusion, and stays pixel-exact."""
+        shape = Shape([Path.from_circle((8.0, 8.0), 7.0)])
+        commands = self._commands(
+            shape, [(0.0, 0.0), (40.0, 0.0), (20.0, 20.0)]
+        )
+        r = Renderer(Configuration(), SIZE, SIZE)
+        program = r.compile_frame(commands)
+        seq = Renderer(Configuration(), SIZE, SIZE, auto_instance=False)
+        moved = self._commands(
+            shape, [(0.0, 0.0), (6.0, 4.0), (40.0, 0.0)]
+        )
+        transforms = Renderer._pack_transforms(moved)
+        plan = program._derive_plan(transforms)
+        assert plan is not None
+        assert plan.signature == ((False, (0,), (1, 2)),)
+        assert np.array_equal(
+            np.asarray(program(transforms)), seq.render(moved)
+        )
+        assert program._plan is plan or (
+            program._plan.signature == plan.signature
         )
 
     def test_render_sequence_falls_back_across_segment(self):
@@ -1569,9 +1721,43 @@ class TestFrameProgramFusion:
         assert np.array_equal(frames[0], seq.render(commands))
         assert np.array_equal(frames[1], seq.render(moved))
 
+    def test_uniform_opaque_color_fuses_despite_overlap(self):
+        """A run painting ONE opaque color fuses whole even where
+        covers overlap (idempotent blend, no depth, uniform
+        orientation): overlap changes which cover paints a shared
+        sample, which is invisible for a single opaque color — and
+        must render pixel-exactly vs the sequential walk."""
+        shape = Shape([Path.from_circle((8.0, 8.0), 7.0)])
+        commands = []
+        for dx, dy in [(0.0, 0.0), (6.0, 4.0), (40.0, 0.0)]:
+            commands += stencil_color(
+                shape, translate(dx, dy), (0.2, 0.7, 0.9, 1.0)
+            )
+        r = Renderer(Configuration(), SIZE, SIZE)
+        program = r.compile_frame(commands)
+        assert program._plan is not None
+        assert program._plan.signature == ((True, (0, 1, 2)),)
+        want = Renderer(
+            Configuration(), SIZE, SIZE, auto_instance=False
+        ).render(commands)
+        assert np.array_equal(np.asarray(program()), want)
+
+    def test_translucent_uniform_color_never_escapes(self):
+        shape = Shape([Path.from_circle((8.0, 8.0), 7.0)])
+        commands = []
+        for dx, dy in [(0.0, 0.0), (6.0, 4.0)]:
+            commands += stencil_color(
+                shape, translate(dx, dy), (0.2, 0.7, 0.9, 0.5)
+            )
+        r = Renderer(Configuration(), SIZE, SIZE)
+        program = r.compile_frame(commands)
+        # Overlapping translucent covers: no escape, greedy grouping
+        # degenerates to singles, no fused variant.
+        assert program._plan is None
+
     def test_mismatched_pair_rows_disable_fusion(self):
         """A caller stack whose stencil and cover rows differ must
-        never dispatch the fused variant (fused draws share one
+        never dispatch a fused variant (fused draws share one
         transform row per instance)."""
         shape = Shape([Path.from_circle((6.0, 6.0), 5.0)])
         commands = self._commands(shape, [(0.0, 0.0), (20.0, 0.0)])
@@ -1579,11 +1765,14 @@ class TestFrameProgramFusion:
         program = r.compile_frame(commands)
         transforms = Renderer._pack_transforms(commands).copy()
         transforms[1, 0, 3] += 0.25  # cover row diverges from stencil
-        assert program._fused_transforms_if_valid(transforms) is None
+        assert program._plan_transforms_if_valid(
+            program._plan, transforms
+        ) is None
+        assert program._derive_plan(transforms) is None
 
     def test_auto_instance_off_compiles_no_fused_variant(self):
         shape = Shape([Path.from_circle((6.0, 6.0), 5.0)])
         commands = self._commands(shape, [(0.0, 0.0), (20.0, 0.0)])
         r = Renderer(Configuration(), SIZE, SIZE, auto_instance=False)
         program = r.compile_frame(commands)
-        assert program._fusion is None and program._fused is None
+        assert program._runs == [] and program._fused_variants == {}

@@ -244,6 +244,154 @@ class TestShapeOfText:
         assert getattr(font.face, "_glyph_table_cache", None)
 
 
+class TestTextCommands:
+    """text_commands: instanced per-unique-glyph draws (the reference's
+    per-glyph vertex buffers + instanced draw, text.rs:97-104,
+    renderer.rs:462-466) — pixel-exact against the monolithic
+    shape_of_text build for opaque text."""
+
+    def _layout(self, size=24.0):
+        return Layout(
+            size=size,
+            orientation=Orientation.LEFT_TO_RIGHT,
+            major_alignment=Alignment.BEGIN,
+            minor_alignment=Alignment.BEGIN,
+        )
+
+    def test_matches_monolith_pixels(self, font):
+        from contrast_renderer_tpu.renderer import (
+            Configuration, DrawCommand, RenderOperation, Renderer)
+        from contrast_renderer_tpu.text import shape_of_text, text_commands
+
+        layout = self._layout()
+        text = "the quick brown fox\njumps over the lazy dog"
+        t = np.diag(
+            [2.0 / 300.0, 2.0 / 300.0, 1.0, 1.0]
+        ).astype(np.float32)
+        t[0, 3] = -1.0
+        t[1, 3] = 0.8
+        shape = shape_of_text(font.face, layout, text)
+        mono = Renderer(Configuration(), 256, 256).render([
+            DrawCommand(RenderOperation.STENCIL, shape, t),
+            DrawCommand(
+                RenderOperation.COLOR, shape, t, color=(1, 1, 1, 1)
+            ),
+        ])
+        commands = text_commands(
+            font.face, layout, text, t, color=(1, 1, 1, 1)
+        )
+        inst = Renderer(Configuration(), 256, 256).render(commands)
+        assert np.array_equal(mono, inst)
+        # Repeated letters share one instanced pair; every non-space
+        # glyph is drawn exactly once.
+        stencils = [
+            c for c in commands
+            if c.operation == RenderOperation.STENCIL
+        ]
+        assert any(c.n_instances > 1 for c in stencils)
+        n_glyphs = sum(1 for ch in text if not ch.isspace())
+        assert sum(c.n_instances for c in stencils) == n_glyphs
+
+    def test_glyph_shape_cached_and_instanced(self, font):
+        from contrast_renderer_tpu.renderer import RenderOperation
+        from contrast_renderer_tpu.text import glyph_shape, text_commands
+
+        layout = self._layout()
+        t = np.diag(
+            [2.0 / 400.0, 2.0 / 400.0, 1.0, 1.0]
+        ).astype(np.float32)
+        t[0, 3] = -1.0
+        commands = text_commands(font.face, layout, "aaaa b", t)
+        # 'a' x4 -> one instanced pair; 'b' -> one single pair;
+        # the space has no outline and emits nothing.
+        stencils = [
+            c for c in commands
+            if c.operation == RenderOperation.STENCIL
+        ]
+        assert sorted(c.n_instances for c in stencils) == [1, 4]
+        gid = font.face.glyph_index("a")
+        assert glyph_shape(font.face, gid) is stencils[0].shape or \
+            glyph_shape(font.face, gid) is stencils[1].shape
+        # The per-face cache serves repeated calls the same object.
+        assert glyph_shape(font.face, gid) is glyph_shape(font.face, gid)
+
+    def test_matches_sequential_walk_translucent(self, font):
+        """The instanced command list must be pixel-exact against the
+        fully-sequential per-instance walk even with translucent color
+        (where an unsound grouping would double-blend overlap)."""
+        from contrast_renderer_tpu.renderer import (
+            Configuration, DrawCommand, RenderOperation, Renderer)
+        from contrast_renderer_tpu.text import text_commands
+
+        layout = self._layout(size=48.0)
+        t = np.diag(
+            [2.0 / 300.0, 2.0 / 300.0, 1.0, 1.0]
+        ).astype(np.float32)
+        t[0, 3] = -1.0
+        t[1, 3] = 0.2
+        commands = text_commands(
+            font.face, layout, "mammal", t, color=(1.0, 0.4, 0.2, 0.5)
+        )
+        inst_img = Renderer(Configuration(), 128, 128).render(commands)
+        # The sequential walk: every instanced (STENCIL, COLOR) pair
+        # expands to S0 C0 S1 C1 ... in instance order.
+        seq_cmds = []
+        k = 0
+        while k < len(commands):
+            s, col = commands[k], commands[k + 1]
+            tf = np.asarray(s.transform, np.float32).reshape(-1, 4, 4)
+            for i in range(s.n_instances):
+                seq_cmds.append(
+                    DrawCommand(RenderOperation.STENCIL, s.shape, tf[i])
+                )
+                seq_cmds.append(
+                    DrawCommand(
+                        RenderOperation.COLOR, col.shape, tf[i],
+                        color=col.color,
+                    )
+                )
+            k += 2
+        seq_img = Renderer(
+            Configuration(), 128, 128, auto_instance=False
+        ).render(seq_cmds)
+        assert np.array_equal(inst_img, seq_img)
+
+    def test_flag_overlapping_boxes(self):
+        from contrast_renderer_tpu.text import _flag_overlapping_boxes
+
+        boxes = np.array([
+            [0.0, 0.0, 1.0, 1.0],     # overlaps #2
+            [5.0, 0.0, 6.0, 1.0],     # isolated
+            [0.5, 0.5, 1.5, 1.5],     # overlaps #0
+            [0.0, 3.0, 1.0, 4.0],     # same x range, disjoint y
+        ])
+        flags = _flag_overlapping_boxes(boxes)
+        assert flags.tolist() == [True, False, True, False]
+        # Touching boxes count as overlapping (closed-box test).
+        touching = np.array([
+            [0.0, 0.0, 1.0, 1.0],
+            [1.0, 0.0, 2.0, 1.0],
+        ])
+        assert _flag_overlapping_boxes(touching).all()
+
+    def test_near_plane_instances_fall_back(self, font):
+        """Instances whose projected hull crosses the near plane are
+        emitted as sequential pairs (their boxes are undefined)."""
+        from contrast_renderer_tpu.renderer import RenderOperation
+        from contrast_renderer_tpu.text import text_commands
+
+        layout = self._layout()
+        behind = np.eye(4, dtype=np.float32)
+        behind[3, 2] = -2.0
+        behind[3, 3] = -0.5  # w < 0 over the whole layout
+        commands = text_commands(font.face, layout, "aaa", behind)
+        stencils = [
+            c for c in commands
+            if c.operation == RenderOperation.STENCIL
+        ]
+        assert all(c.n_instances == 1 for c in stencils)
+
+
 class TestCmapLegacyFormats:
     """cmap formats 0 (byte) and 6 (trimmed) — legacy tables some fonts
     ship alone (ttf-parser supports them; OpenSans itself uses 4/12)."""
