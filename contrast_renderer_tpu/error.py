@@ -35,6 +35,15 @@ class DynamicStrokeOptionsIndexOutOfBounds(ContrastError):
     (reference src/error.rs:15)."""
 
 
+class FrameTooComplex(ContrastError):
+    """The frame's command/draw tables exceed what fits in on-chip
+    memory even with the large-frame streaming layout (a TPU-native
+    limit with no reference analogue — wgpu streams instance
+    attributes from unbounded storage buffers, renderer.rs:462-466).
+    Split the frame, or instance repeated shapes so many (command,
+    instance) draws share one command."""
+
+
 class UnsupportedFontFormat(ContrastError):
     """The font carries no outline table this reader understands (the
     reference's ttf-parser returns FaceParsingError for malformed faces;

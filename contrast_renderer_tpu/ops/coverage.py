@@ -47,6 +47,7 @@ sensitive and bf16-grade matmul precision visibly corrupts them.
 
 from __future__ import annotations
 
+import dataclasses
 import math
 from dataclasses import dataclass
 from typing import NamedTuple
@@ -180,7 +181,14 @@ class FrameSpec:
     width: int
     height: int
     ops: tuple            # per-command RenderOperation ints
-    cmd_shape: tuple      # per-command shape index
+    #: Per-command shape index — an int shared by the command's
+    #: instances, or a per-INSTANCE tuple of shape indices (one draw
+    #: stream over many vertex buffers: the reference's per-glyph
+    #: buffers under one instanced pipeline, renderer.rs:462-466 +
+    #: text.rs:97-104).  A multi-shape stencil command walks as ONE
+    #: unit with contiguous per-tile entry ranges — monolith-speed
+    #: batching with per-shape geometry reuse.
+    cmd_shape: tuple
     n_shapes: int
     t_max: int            # padded triangle count per shape
     h_max: int            # padded hull vertex count per shape
@@ -241,6 +249,25 @@ class FrameSpec:
     slots_y: int = 2
     fill_batch: int = NB            # fill entries evaluated per step
     stroke_batch: int = 1           # stroke entries evaluated per step
+    #: Per-draw command tables (cmd_f colors/gradients, paint
+    #: endpoints, depth planes, hull lines) live in SMEM for small
+    #: frames — cheapest for the kernel's scalar control reads — but
+    #: SMEM is ~1 MiB and each table row pads to a 512-byte window, so
+    #: a few hundred cover draws overflow it (the 10k-instanced-glyph
+    #: frame needs ~15 MB).  Above the threshold the tables concatenate
+    #: into ONE VMEM array with a 512-byte row per draw (the reference
+    #: streams instance attributes from storage buffers for the same
+    #: reason, renderer.rs:462-466).  None = decide from the draw
+    #: count; True/False forces (tests exercise both layouts).
+    stream_draws: "bool | None" = None
+    #: Whether any shape in the scene carries stroke descriptor groups.
+    #: False compiles the six stroke classes out of the per-(tile,
+    #: command) walk — a scene without stroke groups cannot produce
+    #: stroke entries, and the empty-range prologue (two scalar range
+    #: reads + a branch, × 6 classes × 2 walks, per active command per
+    #: tile) is a real cost for many-command fill scenes (instanced
+    #: text).
+    has_strokes: bool = True
     interpret: bool = False
 
     def __post_init__(self):
@@ -249,6 +276,21 @@ class FrameSpec:
                 f"tile_strips={self.tile_strips} must divide "
                 f"tile_w={self.tile_w}"
             )
+        # Cache the hash: specs key executor caches and are hashed
+        # several times per frame; cmd_shape alone can be a
+        # 10k-instance tuple (multi-shape commands), making the
+        # default dataclass hash a real per-frame cost.
+        object.__setattr__(self, "_hash", None)
+
+    def __hash__(self):
+        h = self._hash
+        if h is None:
+            h = hash(tuple(
+                getattr(self, f.name)
+                for f in dataclasses.fields(self)
+            ))
+            object.__setattr__(self, "_hash", h)
+        return h
     @property
     def entry_pad(self):
         """Row padding past the capacity so batched `pl.ds` slices of
@@ -458,8 +500,23 @@ def _corner_min_max(a, b, c, x0, y0, tw, th):
 
 def make_prepare(spec: FrameSpec):
     C = spec.n_commands
-    cmd_shape = np.asarray(spec.cmd_shape, np.int32)
     draws = draw_tables(spec)
+    # Per-draw shape indices (cmd_shape entries are per-command ints or
+    # per-instance tuples).
+    _row_base = draws.row_base
+
+    def _shape_at(c, r):
+        e = spec.cmd_shape[c]
+        return e[r - _row_base[c]] if isinstance(e, (tuple, list)) else e
+
+    s_shape_np = np.asarray(
+        [_shape_at(c, r) for c, r in zip(draws.s_cmd, draws.s_row)],
+        np.int32,
+    )
+    c_shape_np = np.asarray(
+        [_shape_at(c, r) for c, r in zip(draws.c_cmd, draws.c_row)],
+        np.int32,
+    )
     Rs = len(draws.s_cmd)
     Rc = len(draws.c_cmd)
     U = len(draws.unit_cmd)
@@ -497,7 +554,7 @@ def make_prepare(spec: FrameSpec):
 
         # ---- per-stencil-draw triangle setup --------------------------
         s_cmd = jnp.asarray(draws.s_cmd)
-        sshape = jnp.asarray(cmd_shape[draws.s_cmd])
+        sshape = jnp.asarray(s_shape_np)
         sxy = xy[sshape]                     # (Rs, T, 3, 2)
         saux = aux[sshape]
         stf = transforms[jnp.asarray(draws.s_row)]   # (Rs, 4, 4)
@@ -898,7 +955,7 @@ def make_prepare(spec: FrameSpec):
         # ---- cover draws: near-plane clip + hull lines + class ---------
         # Computed per cover draw (one hull cover per (command,
         # instance)); stencil draws never read hull rows.
-        hp = hull[jnp.asarray(cmd_shape[draws.c_cmd])]   # (Rc, Hm, 2)
+        hp = hull[jnp.asarray(c_shape_np)]               # (Rc, Hm, 2)
         ctf = transforms[jnp.asarray(draws.c_row)]       # (Rc, 4, 4)
         Cc = Rc
 
@@ -1276,6 +1333,57 @@ def make_rasterize(spec: FrameSpec):
         )
     )
     has_paint = bool(any(spec.paints))
+    # ---- per-draw table layout (small: SMEM, large: one VMEM array) --
+    # cmd_f is (Rc, DF) with DF = 20 (+4 blend-constant columns); the
+    # streamed layout appends paint_xy (4), zplane (3) and the
+    # flattened hull lines (4·Hm) as extra columns of one combined
+    # (Rc, DF+7+4·Hm) f32 array in VMEM — one 512-byte padded row per
+    # draw instead of four, scaling to tens of thousands of draws
+    # (SMEM holds ~1 MiB total; every 2-D window row pads to 512 B).
+    DF = 24 if uses_blend_const else 20
+    PXB = DF              # paint_xy column base (streamed layout)
+    ZPB = DF + 4          # zplane column base
+    HLB = DF + 7          # hull-line column base (4 per line)
+    DRAW_F_W = HLB + 4 * Hm
+    Rc_rows = max(1, Rc)
+    if spec.stream_draws is None:
+        # ~512 B per padded SMEM row across cmd_f/paint_xy/zplane (Rc
+        # rows each) + cmd_i (C rows); stream past ~half the budget.
+        stream_draws = (3 * Rc_rows + C) * 512 > (1 << 19)
+    else:
+        stream_draws = bool(spec.stream_draws)
+    # Per-tile SMEM that scales with the command structure even in the
+    # streamed layout: aclist/unit tables (U), cls/hbits (Rc), the
+    # per-(command, class) range tables (9C+1) and cmd_i.  Reject
+    # frames that cannot fit rather than failing deep in the TPU
+    # compiler.
+    U_units = U
+    smem_fixed = (
+        3 * U_units * 4            # aclist + unit_cmd + unit_draw
+        + 2 * Rc_rows * 4          # cls + hbits
+        + 4 * (N_CLASSES * C + 1) * 4  # off + g_off (+ slack)
+        + C * 4                    # bulk
+    )
+    cmd_i_vmem = stream_draws and C > 1024
+    if not cmd_i_vmem:
+        smem_fixed += C * 512
+    if not stream_draws:
+        smem_fixed += 3 * Rc_rows * 512
+    if smem_fixed > (1 << 20) - (1 << 16):
+        from ..error import FrameTooComplex
+        raise FrameTooComplex(
+            f"frame needs ~{smem_fixed >> 10} KiB of scalar memory for "
+            f"{C} commands / {Rc_rows} cover draws (budget ~1 MiB); "
+            "instance repeated shapes so draws share commands, or "
+            "split the frame"
+        )
+    if stream_draws and Rc_rows * 512 > 12 * (1 << 20):
+        from ..error import FrameTooComplex
+        raise FrameTooComplex(
+            f"{Rc_rows} cover draws need "
+            f"{Rc_rows * 512 >> 20} MiB of on-chip vector memory for "
+            "the streamed draw table (budget ~12 MiB); split the frame"
+        )
     # Distinct user-paint functions in first-appearance order over the
     # command walk — matches renderer._pack_commands_runtime's code
     # assignment (code = 3 + index).
@@ -1287,12 +1395,36 @@ def make_rasterize(spec: FrameSpec):
             _seen_fns.add(id(fn))
             user_fns.append(fn)
 
-    def kernel(
-        cmd_i, cmd_f, paint_xy, zplane, unit_cmd_s, unit_draw_s, acount,
-        aclist, off, g_off, bulk, cls, hbits,
-        tri_f, tri_i, g_tri_f, g_tri_i, hull_lines, desc_f, desc_i,
-        out_ref, *scratch,
-    ):
+    def kernel(*refs):
+        # Two input layouts (see FrameSpec.stream_draws): the draw
+        # payload is either four small SMEM tables or one combined VMEM
+        # array whose first DF columns coincide with cmd_f — so the
+        # cmd_f reads below are literal either way, and the accessors
+        # only shift paint/zplane/hull columns.
+        if stream_draws:
+            (cmd_i, cmd_f, unit_cmd_s, unit_draw_s, acount, aclist,
+             off, g_off, bulk, cls, hbits, tri_f, tri_i, g_tri_f,
+             g_tri_i, desc_f, desc_i, out_ref, *scratch) = refs
+            paint_tab = zp_tab = hull_tab = cmd_f
+            px_base, zp_base, hl_base = PXB, ZPB, HLB
+        else:
+            (cmd_i, cmd_f, paint_tab, zp_tab, hull_tab, unit_cmd_s,
+             unit_draw_s, acount, aclist, off, g_off, bulk, cls, hbits,
+             tri_f, tri_i, g_tri_f, g_tri_i, desc_f, desc_i, out_ref,
+             *scratch) = refs
+            px_base = zp_base = hl_base = 0
+
+        def paint_at(d, k):
+            return paint_tab[d, px_base + k]
+
+        def zplane_at(d, k):
+            return zp_tab[d, zp_base + k]
+
+        def hull_at(d, h_index, k):
+            # Hull lines are stored flattened (Rc, 4·Hm): h_index and k
+            # are Python statics, so the column is static too.
+            return hull_tab[d, hl_base + 4 * h_index + k]
+
         wind, colorb, maskb = scratch[0], scratch[1], scratch[2]
         extra = 3
         if has_clip:
@@ -1599,6 +1731,8 @@ def make_rasterize(spec: FrameSpec):
                 # Stroke classes — six branch-free specializations
                 # (lines/joints × solid/single-dash/general-dash); they
                 # run before fills, matching the reference's draw order.
+                # Compiled out entirely for scenes without stroke
+                # groups (FrameSpec.has_strokes).
                 for cls_code, joint, dash_mode in (
                     (CLS_LINE_SOLID, False, 0),
                     (CLS_LINE_DASH1, False, 1),
@@ -1606,7 +1740,7 @@ def make_rasterize(spec: FrameSpec):
                     (CLS_JOINT_SOLID, True, 0),
                     (CLS_JOINT_DASH1, True, 1),
                     (CLS_JOINT_DASHN, True, 2),
-                ):
+                ) if spec.has_strokes else ():
                     # pl.when guards: an empty range skips the loop
                     # prologue entirely — most (visit, class) pairs are
                     # empty.
@@ -1729,9 +1863,9 @@ def make_rasterize(spec: FrameSpec):
                             @pl.when(((bits >> h_index) & 1) != 0)
                             def _line(h_index=h_index):
                                 he = (
-                                    hull_lines[d, h_index, 0] * px
-                                    + hull_lines[d, h_index, 1] * py
-                                    + hull_lines[d, h_index, 2]
+                                    hull_at(d, h_index, 0) * px
+                                    + hull_at(d, h_index, 1) * py
+                                    + hull_at(d, h_index, 2)
                                 )
                                 maskb[...] = maskb[...] & (
                                     he >= 0.0
@@ -1765,9 +1899,9 @@ def make_rasterize(spec: FrameSpec):
                             # uses the combined mask (depth_fail_op is
                             # Keep, renderer.rs:442).
                             zval = (
-                                zplane[d, 0] * px
-                                + zplane[d, 1] * py
-                                + zplane[d, 2]
+                                zplane_at(d, 0) * px
+                                + zplane_at(d, 1) * py
+                                + zplane_at(d, 2)
                             )
                             dbuf = depthb[...]
                             dcmp = {
@@ -1843,8 +1977,8 @@ def make_rasterize(spec: FrameSpec):
                                 @pl.when(pk == 3 + u_ix)
                                 def _user_cover(u_fn=u_fn):
                                     anchor = (
-                                        paint_xy[d, 0], paint_xy[d, 1],
-                                        paint_xy[d, 2], paint_xy[d, 3],
+                                        paint_at(d, 0), paint_at(d, 1),
+                                        paint_at(d, 2), paint_at(d, 3),
                                     )
                                     ur, ug, ub, ua = u_fn(px, py, anchor)
                                     blend(
@@ -1858,10 +1992,10 @@ def make_rasterize(spec: FrameSpec):
                                 # per-sample t along the projected
                                 # endpoints, multi-stop ramp, then
                                 # premultiply.
-                                pax = paint_xy[d, 0]
-                                pay = paint_xy[d, 1]
-                                pdx = paint_xy[d, 2] - pax
-                                pdy = paint_xy[d, 3] - pay
+                                pax = paint_at(d, 0)
+                                pay = paint_at(d, 1)
+                                pdx = paint_at(d, 2) - pax
+                                pdy = paint_at(d, 3) - pay
                                 pden = jnp.maximum(
                                     pdx * pdx + pdy * pdy,
                                     jnp.float32(1e-12),
@@ -2049,11 +2183,23 @@ def make_rasterize(spec: FrameSpec):
                     )
 
     grid = (n_tiles,)
-    in_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),                       # cmd_i
-        pl.BlockSpec(memory_space=pltpu.SMEM),                       # cmd_f
-        pl.BlockSpec(memory_space=pltpu.SMEM),                       # paint_xy
-        pl.BlockSpec(memory_space=pltpu.SMEM),                       # zplane
+    _draw_specs = (
+        [
+            pl.BlockSpec(
+                memory_space=pltpu.VMEM if cmd_i_vmem else pltpu.SMEM
+            ),                                                       # cmd_i
+            pl.BlockSpec(memory_space=pltpu.VMEM),                   # draw_f
+        ]
+        if stream_draws
+        else [
+            pl.BlockSpec(memory_space=pltpu.SMEM),                   # cmd_i
+            pl.BlockSpec(memory_space=pltpu.SMEM),                   # cmd_f
+            pl.BlockSpec(memory_space=pltpu.SMEM),                   # paint_xy
+            pl.BlockSpec(memory_space=pltpu.SMEM),                   # zplane
+            pl.BlockSpec(memory_space=pltpu.VMEM),                   # hull_f2
+        ]
+    )
+    in_specs = _draw_specs + [
         pl.BlockSpec(memory_space=pltpu.SMEM),                       # unit_cmd
         pl.BlockSpec(memory_space=pltpu.SMEM),                       # unit_draw
         pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
@@ -2078,7 +2224,6 @@ def make_rasterize(spec: FrameSpec):
                      memory_space=pltpu.VMEM),                       # g_tri_f
         pl.BlockSpec((1, Kg + PAD, D_I), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),                       # g_tri_i
-        pl.BlockSpec(memory_space=pltpu.VMEM),                       # hull_lines
         pl.BlockSpec(memory_space=pltpu.VMEM),                       # desc_f
         pl.BlockSpec(memory_space=pltpu.VMEM),                       # desc_i
     ]
@@ -2122,14 +2267,33 @@ def make_rasterize(spec: FrameSpec):
     unit_draw_dev = jnp.asarray(draws.unit_draw)
 
     def rasterize(prepared: PreparedFrame, cmd_i, cmd_f, desc_f, desc_i):
+        # Hull lines flatten to (Rc, 4·Hm) so every kernel read is a
+        # (dynamic row, static column) scalar — and so the VMEM window
+        # is one padded row per draw, not one padded (Hm, 4) tile.
+        hull_f2 = prepared.hull_lines.reshape(Rc, 4 * Hm)
+        if stream_draws:
+            draw_f = jnp.concatenate(
+                [
+                    jnp.asarray(cmd_f, jnp.float32),
+                    prepared.paint_xy,
+                    prepared.zplane,
+                    hull_f2,
+                ],
+                axis=1,
+            )
+            draw_args = (cmd_i, draw_f)
+        else:
+            draw_args = (
+                cmd_i, cmd_f, prepared.paint_xy, prepared.zplane, hull_f2,
+            )
         tiles = raster_call(
-            cmd_i, cmd_f, prepared.paint_xy, prepared.zplane,
+            *draw_args,
             unit_cmd_dev, unit_draw_dev,
             prepared.acount, prepared.aclist, prepared.off, prepared.g_off,
             prepared.bulk, prepared.cls, prepared.hbits,
             prepared.tri_f, prepared.tri_i,
             prepared.g_tri_f, prepared.g_tri_i,
-            prepared.hull_lines, desc_f, desc_i,
+            desc_f, desc_i,
         )
         if out_u8 and strips == 1:
             # (H', W') int32 → (H, W, 4) uint8: a pure bitcast view of

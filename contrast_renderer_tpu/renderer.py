@@ -577,7 +577,15 @@ class DrawCommand:
     """
 
     operation: RenderOperation
-    shape: Shape
+    #: One Shape shared by all instances, or a SEQUENCE of Shapes (one
+    #: per instance): a single draw stream over many vertex buffers —
+    #: the reference's per-glyph buffers under one instanced pipeline
+    #: (renderer.rs:462-466 + text.rs:97-104).  A multi-shape STENCIL
+    #: command walks as one kernel unit with contiguous per-tile entry
+    #: ranges (monolith-speed batching with per-shape geometry reuse);
+    #: a multi-shape cover replays per-instance hulls like any
+    #: instanced cover.
+    shape: object
     transform: np.ndarray  # (4, 4) or (N, 4, 4) row-major model→clip
     color: object = (0.0, 0.0, 0.0, 1.0)  # (4,) or (N, 4)
     clip_depth: int = 0  # reference set_clip_depth (renderer.rs:931-938)
@@ -587,6 +595,15 @@ class DrawCommand:
     def n_instances(self) -> int:
         t = np.asarray(self.transform)
         return 1 if t.ndim == 2 else int(t.shape[0])
+
+    @property
+    def shapes(self):
+        """The command's shapes as a list (len 1 or n_instances)."""
+        return (
+            list(self.shape)
+            if isinstance(self.shape, (list, tuple))
+            else [self.shape]
+        )
 
 
 def _optimize_commands(commands):
@@ -1035,6 +1052,34 @@ def _greedy_box_groups(boxes, ok, polys):
     return tuple(groups)
 
 
+def _greedy_box_groups_multi(per_stack, ok):
+    """_greedy_box_groups across a MOTION: a pair joins the current
+    group only if its cover is well-defined and disjoint from every
+    member in EVERY transform stack (``per_stack``: one
+    ``(boxes, polys)`` per frame of the motion).  The resulting
+    grouping stays valid for the whole camera path, so one compiled
+    variant serves every frame."""
+    groups = []
+    current = []
+    for i in range(len(ok)):
+        if ok[i] and all(
+            _covers_disjoint(boxes, polys, i, j)
+            for j in current
+            for boxes, polys in per_stack
+        ):
+            current.append(i)
+        else:
+            if current:
+                groups.append(tuple(current))
+            current = [i]
+            if not ok[i]:
+                groups.append(tuple(current))
+                current = []
+    if current:
+        groups.append(tuple(current))
+    return tuple(groups)
+
+
 class _FusionPlan:
     """A concrete grouping of a FrameProgram's structural runs: the
     fused command list, the opt-layout→fused-layout row gather, and
@@ -1160,6 +1205,13 @@ class _SceneArrays:
         self.t_max = t_max
         self.h_max = h_max
         self.n_shapes = len(shapes)
+        #: Unpadded triangle count per shape — _spec's density estimate
+        #: sums these over the actual (command, instance) draws.
+        self.tri_counts = tuple(len(s.triangles) for s in shapes)
+        #: Total stroke descriptor groups: 0 compiles the stroke
+        #: classes out of the kernel walk (coverage.FrameSpec.
+        #: has_strokes) — no stroke group, no stroke entries.
+        self.n_desc = sum(len(s.descriptors.phase) for s in shapes)
         self.xy = jnp.asarray(np.stack([p[0] for p in padded]))
         self.aux = jnp.asarray(np.stack([p[1] for p in padded]))
         self.kind = jnp.asarray(np.stack([p[2] for p in padded]))
@@ -1256,6 +1308,7 @@ class Renderer:
         stroke_batch: int = 1,
         auto_instance: bool = True,
         tile_strips=None,
+        stream_draws=None,
     ):
         self.config = config
         self.width = int(width)
@@ -1287,6 +1340,14 @@ class Renderer:
         #: per-tile entry walks that dominate dense scenes.  None = auto
         #: per scene (see _spec).
         self.tile_strips = None if tile_strips is None else int(tile_strips)
+        #: Per-draw table placement (coverage.FrameSpec.stream_draws):
+        #: None = auto by draw count (SMEM for small frames, one
+        #: combined VMEM table past a few hundred cover draws — SMEM is
+        #: ~1 MiB and overflows at 10k-instance frames); True/False
+        #: forces a layout (tests compare both).
+        self.stream_draws = (
+            None if stream_draws is None else bool(stream_draws)
+        )
         self._global_capacity = 1024
         # Per-tile big-triangle rows are DMA'd per grid step whether
         # used or not — start small; the overflow machinery grows it
@@ -1326,6 +1387,9 @@ class Renderer:
         #: ``one_minus_constant`` blend factors (wgpu
         #: set_blend_constant; default transparent black as wgpu's).
         self.blend_constant = (0.0, 0.0, 0.0, 0.0)
+        #: Digests of transform stacks already validated finite (a
+        #: 10k-instance stack costs ~0.5 ms to re-validate per frame).
+        self._finite_ok = {}
         #: Per-stage counters of the last rendered frame (observability).
         self.stats = {}
 
@@ -1377,6 +1441,13 @@ class Renderer:
     def _validate(self, commands):
         config = self.config
         for command in commands:
+            if isinstance(command.shape, (list, tuple)) and len(
+                command.shape
+            ) != command.n_instances:
+                raise ValueError(
+                    f"multi-shape command carries {len(command.shape)} "
+                    f"shapes for {command.n_instances} instances"
+                )
             if command.clip_depth >= (1 << config.clip_nesting_counter_bits):
                 raise ClipStackOverflow(str(command.clip_depth))
             if command.operation in (
@@ -1414,10 +1485,19 @@ class Renderer:
         shapes = []
         shape_index = {}
         for command in commands:
-            if id(command.shape) not in shape_index:
-                shape_index[id(command.shape)] = len(shapes)
-                shapes.append(command.shape)
+            for shape in command.shapes:
+                if id(shape) not in shape_index:
+                    shape_index[id(shape)] = len(shapes)
+                    shapes.append(shape)
         return shapes, shape_index
+
+    @staticmethod
+    def _cmd_shape_entry(command, shape_index):
+        """FrameSpec.cmd_shape entry for one command: an int, or a
+        per-instance tuple for multi-shape commands."""
+        if isinstance(command.shape, (list, tuple)):
+            return tuple(shape_index[id(s)] for s in command.shape)
+        return shape_index[id(command.shape)]
 
     def _scene_arrays(self, shapes) -> Tuple[tuple, _SceneArrays]:
         key = tuple((s._uid, s._geometry_version) for s in shapes)
@@ -1431,14 +1511,31 @@ class Renderer:
 
     def _spec(self, ops, cmd_shape, cmd_inst, scene,
               paints=()) -> coverage.FrameSpec:
-        # Auto-tuning by scene density (padded triangles per shape is
-        # the static proxy for per-tile entry range length).  Measured
-        # on v5e (BASELINE configs): a 296k-triangle glyph scene runs
-        # 70% faster at (tile 8, batch 32); the 332-triangle showcase
-        # 15-40% faster at (tile 32, batch 2).
-        if scene.t_max >= 32768:
+        # Auto-tuning by scene density (padded triangles per SHAPE — a
+        # static proxy for per-(tile, command) entry range length: wide
+        # batches only pay off when one command's ranges are long).
+        # Measured on v5e (BASELINE configs): a 296k-triangle glyph
+        # scene runs 70% faster at (tile 8, batch 32); the 332-triangle
+        # showcase 15-40% faster at (tile 32, batch 2); the INSTANCED
+        # 10k-glyph scene (400k total rows but ~30-row shapes split
+        # across 36 commands) measured 28.6 FPS at (32, 2) vs 22.4 at
+        # (8, 32) — total-row density is the WRONG proxy there, so the
+        # tiers key on per-shape size... EXCEPT multi-shape commands:
+        # their rows walk as ONE unit with contiguous per-tile entry
+        # ranges, so such a command is as dense as a monolithic shape
+        # of its total row count.
+        multi_rows = max(
+            (
+                sum(scene.tri_counts[s] for s in entry)
+                for entry in cmd_shape
+                if isinstance(entry, tuple)
+            ),
+            default=0,
+        )
+        density = max(scene.t_max, multi_rows)
+        if density >= 32768:
             auto_tile, auto_batch, auto_strips = 8, 32, 1
-        elif scene.t_max >= 4096:
+        elif density >= 4096:
             auto_tile, auto_batch, auto_strips = 16, 8, 1
         else:
             auto_tile, auto_batch, auto_strips = 32, 2, 1
@@ -1478,6 +1575,8 @@ class Renderer:
             clip_pool=self._clip_pool,
             fill_batch=fill_batch,
             stroke_batch=self.stroke_batch,
+            stream_draws=self.stream_draws,
+            has_strokes=scene.n_desc > 0,
             interpret=self._interpret_flag(),
         )
 
@@ -1636,18 +1735,20 @@ class Renderer:
             rows.append(np.broadcast_to(pts[None], (c.n_instances, 2, 2)))
         return np.ascontiguousarray(np.concatenate(rows), dtype=np.float32)
 
-    def _dev_cached(self, name: str, arr: np.ndarray):
+    def _dev_cached(self, name: str, arr: np.ndarray, digest=None):
         """Device copy of `arr`, re-uploaded only when its bytes change.
 
         Keyed on a 16-byte BLAKE2 digest rather than the raw bytes: the
         digest is computed in one pass over the buffer (no bytes()
         copy for contiguous arrays) and the dict never retains or
-        re-compares megabyte keys.  render()-path only — FrameProgram
-        packs its tables once at build time."""
-        digest = hashlib.blake2b(
-            arr if arr.flags["C_CONTIGUOUS"] else arr.tobytes(),
-            digest_size=16,
-        ).digest()
+        re-compares megabyte keys — pass ``digest`` when the caller
+        already hashed the buffer this frame.  render()-path only —
+        FrameProgram packs its tables once at build time."""
+        if digest is None:
+            digest = hashlib.blake2b(
+                arr if arr.flags["C_CONTIGUOUS"] else arr.tobytes(),
+                digest_size=16,
+            ).digest()
         key = (name, arr.shape, arr.dtype.str, digest)
         dev = self._upload_cache.get(key)
         if dev is None:
@@ -1664,9 +1765,26 @@ class Renderer:
         every call.  The key captures every input the fused output
         embeds — transform VALUES included, so a camera change re-derives
         the grouping (always sound for the frame being rendered)."""
+        # Structural pre-scan: fusion only ever collapses ADJACENT
+        # single-instance (STENCIL, COLOR) pairs of one shape; frames
+        # without one (e.g. a 10k-instance multi-shape text frame)
+        # skip the digest/grouping machinery entirely — its key alone
+        # costs ~1 ms at that instance count.
+        if not any(
+            commands[i].operation == RenderOperation.STENCIL
+            and commands[i].n_instances == 1
+            and commands[i + 1].operation == RenderOperation.COLOR
+            and commands[i + 1].n_instances == 1
+            and commands[i].shape is commands[i + 1].shape
+            for i in range(len(commands) - 1)
+        ):
+            return commands
         structure = tuple(
             (
-                int(c.operation), c.shape._uid, c.shape._geometry_version,
+                int(c.operation),
+                tuple(
+                    (s._uid, s._geometry_version) for s in c.shapes
+                ),
                 c.clip_depth, c.alpha_layer, c.n_instances,
                 # Gradient paints fuse by object identity; their stop
                 # tables/endpoints are re-read from the (shared) object
@@ -1774,13 +1892,25 @@ class Renderer:
         shapes, shape_index = self._unique_shapes(commands)
         scene_key, scene = self._scene_arrays(shapes)
         ops = tuple(int(c.operation) for c in commands)
-        cmd_shape = tuple(shape_index[id(c.shape)] for c in commands)
+        cmd_shape = tuple(
+            self._cmd_shape_entry(c, shape_index) for c in commands
+        )
         inst = tuple(c.n_instances for c in commands)
         cmd_inst = inst if any(n != 1 for n in inst) else ()
         paints = tuple(_spec_paint(c.color) for c in commands)
         paint_model = self._pack_paints(commands)
         transforms = self._pack_transforms(commands)
-        require_finite(transforms, "command transforms")
+        # One digest serves the finite-check memo, the prepared-cache
+        # key, and the upload cache — re-hashing/copying a 10k-instance
+        # stack (650 KB) several times per frame is real overhead.
+        tf_digest = hashlib.blake2b(
+            transforms, digest_size=16
+        ).digest()
+        if tf_digest not in self._finite_ok:
+            require_finite(transforms, "command transforms")
+            if len(self._finite_ok) >= 64:
+                self._finite_ok.pop(next(iter(self._finite_ok)))
+            self._finite_ok[tf_digest] = True
         desc_f, desc_i = self._pack_descriptors(shapes)
         # Dash statics (dashed flag, interval count) route stroke
         # entries to specialized kernel bodies at binning time; phase
@@ -1803,7 +1933,7 @@ class Renderer:
             if uint8_kernel:
                 rasterize = self._get_executors(raster_spec)[1]
             pkey = (
-                spec, scene_key, transforms.tobytes(), desc_static.tobytes(),
+                spec, scene_key, tf_digest, desc_static.tobytes(),
                 None if paint_model is None else paint_model.tobytes(),
             )
             cached = self._prepared_cache.get(pkey)
@@ -1826,7 +1956,9 @@ class Renderer:
                 )
                 prepared = prepare(
                     *scene.arrays,
-                    self._dev_cached("transforms", transforms),
+                    self._dev_cached(
+                        "transforms", transforms, digest=tf_digest
+                    ),
                     self._dev_cached("desc_static", desc_static),
                     *paint_args,
                 )
@@ -2114,6 +2246,9 @@ class FrameProgram:
             self._generation += 1
             self._fused_variants = {}
             self._compiling = set()
+        #: Derived-signature hit counts for the compile hysteresis in
+        #: _try_fused (insertion-ordered, oldest evicted).
+        self._sig_counts = {}
         self._plan = None
         if self._runs:
             plan = self._derive_plan(
@@ -2121,9 +2256,9 @@ class FrameProgram:
             )
             if plan is not None:
                 self._plan = plan
-                self._fused_variants[plan.signature] = (
-                    plan, self._build_variant(plan.commands)
-                )
+                variant = self._build_variant(plan.commands)
+                with self._fuse_lock:
+                    self._fused_variants[plan.signature] = (plan, variant)
 
     def _build_variant(self, opt_commands) -> "_ProgramVariant":
         """Compile one command-walk variant (jit is lazy: a variant
@@ -2132,7 +2267,10 @@ class FrameProgram:
         scene = self._scene
         _, shape_index = renderer._unique_shapes(opt_commands)
         ops = tuple(int(c.operation) for c in opt_commands)
-        cmd_shape = tuple(shape_index[id(c.shape)] for c in opt_commands)
+        cmd_shape = tuple(
+            Renderer._cmd_shape_entry(c, shape_index)
+            for c in opt_commands
+        )
         paints = tuple(_spec_paint(c.color) for c in opt_commands)
         inst = tuple(c.n_instances for c in opt_commands)
         cmd_inst = inst if any(n != 1 for n in inst) else ()
@@ -2209,23 +2347,29 @@ class FrameProgram:
         return v
 
     def _variants(self):
-        return (self._seq,) + tuple(
-            v for _, v in self._fused_variants.values()
-        )
+        # Snapshot under the lock: background compile workers install
+        # entries concurrently, and iterating the live dict would raise
+        # "dictionary changed size during iteration" mid-animation.
+        with self._fuse_lock:
+            fused = tuple(v for _, v in self._fused_variants.values())
+        return (self._seq,) + fused
+
+    def _ensure_constant(self, v):
+        """Re-pack one variant's cmd_f when the renderer's blend
+        constant changed since its last pack (tiny host-side numpy; the
+        compiled program takes cmd_f as a runtime input, so animating
+        the constant never rebuilds or retraces)."""
+        constant = self._renderer._blend_constant_arg()
+        if constant != v.packed_constant:
+            v.packed_constant = constant
+            _, cmd_f = Renderer._pack_commands_runtime(
+                v.opt_commands, constant
+            )
+            v.cmd_f = jnp.asarray(cmd_f)
 
     def _refresh_cmd_f(self):
-        """Re-pack cmd_f when the renderer's blend constant changed
-        since the last pack (tiny host-side numpy; the compiled program
-        takes cmd_f as a runtime input, so animating the constant never
-        rebuilds or retraces)."""
-        constant = self._renderer._blend_constant_arg()
         for v in self._variants():
-            if constant != v.packed_constant:
-                v.packed_constant = constant
-                _, cmd_f = Renderer._pack_commands_runtime(
-                    v.opt_commands, constant
-                )
-                v.cmd_f = jnp.asarray(cmd_f)
+            self._ensure_constant(v)
 
     def _escape_allowed(self, r) -> bool:
         """Whether the uniform-opaque-color overlap escape (see
@@ -2340,9 +2484,10 @@ class FrameProgram:
         if self._plan is not None:
             tf = self._plan_transforms_if_valid(self._plan, transforms)
             if tf is not None:
-                return (
-                    self._fused_variants[self._plan.signature][1], tf
-                )
+                with self._fuse_lock:
+                    hit = self._fused_variants.get(self._plan.signature)
+                if hit is not None:
+                    return hit[1], tf
         with self._fuse_lock:
             cached = list(self._fused_variants.values())
             room = (
@@ -2361,6 +2506,22 @@ class FrameProgram:
             return None
         plan = self._derive_plan(transforms)
         if plan is None:
+            return None
+        # Compile hysteresis: continuous camera motion derives a FRESH
+        # grouping almost every frame; compiling each one floods the
+        # compile service and the 1-core host while the animation runs
+        # (measured 1.06 FPS on the 4K orbit vs 60+ on the sequential
+        # walk).  A grouping must be derived twice in the recent window
+        # before it earns a background compile — static or oscillating
+        # cameras converge in two frames, sweeps stay sequential (use
+        # plan_for_motion to pre-compile one grouping valid across a
+        # whole camera path).
+        sig = plan.signature
+        count = self._sig_counts.get(sig, 0) + 1
+        self._sig_counts[sig] = count
+        if len(self._sig_counts) > 64:
+            self._sig_counts.pop(next(iter(self._sig_counts)))
+        if count < 2:
             return None
         self._spawn_fused_compile(plan, transforms)
         return None
@@ -2421,6 +2582,94 @@ class FrameProgram:
         threading.Thread(
             target=work, name="fused-variant-compile", daemon=True
         ).start()
+
+    def plan_for_motion(self, transforms_seq, wait=True, timeout=600.0):
+        """Derive + compile ONE fused grouping that stays pixel-exact
+        across every transform stack of ``transforms_seq`` (the frames
+        of a camera path), and make it the active plan.
+
+        Continuous camera motion re-groups a scene almost every frame,
+        and per-frame groupings would each need their own compile (the
+        hysteresis in _try_fused therefore keeps sweeps on the
+        sequential walk).  Here the grouping is derived from the WHOLE
+        motion — pairs fuse only where their covers are disjoint (or
+        the opaque-overlap escape holds) in every given frame — so one
+        compiled variant serves the whole path.  Per-frame dispatch
+        still re-validates pixel-exactness, so motion beyond the
+        scouted path degrades to the sequential walk, never to a wrong
+        frame.  This is the TPU-native analogue of the reference's
+        single unconditional instanced draw across its camera orbit
+        (examples/showcase/main.rs:236-250, 255-274).
+
+        ``transforms_seq``: iterable of (R, 4, 4) stacks in the public
+        (pre-fusion) layout, like ``__call__``.  Returns True when a
+        fused plan is active and compiled (when ``wait``); False when
+        nothing fuses across the motion."""
+        if not self._runs:
+            return False
+        stacks = []
+        for t in transforms_seq:
+            t = np.ascontiguousarray(t, np.float32).reshape(-1, 4, 4)
+            if self._keep_rows is not None:
+                t = t[self._keep_rows]
+            stacks.append(t)
+        if not stacks:
+            return False
+        groupings = []
+        for r in self._runs:
+            per = [
+                _run_boxes(r.shape, t[r.stencil_rows]) for t in stacks
+            ]
+            ok_all = np.logical_and.reduce([ok for _, ok, _ in per])
+            for k, (s, c) in enumerate(
+                zip(r.stencil_rows, r.cover_rows)
+            ):
+                if ok_all[k] and not all(
+                    np.array_equal(t[s], t[c]) for t in stacks
+                ):
+                    ok_all[k] = False
+            if self._escape_allowed(r) and ok_all.all():
+                sign_ok = True
+                for _, _, polys in per:
+                    signs = _poly_orientation_signs(polys)
+                    if signs[0] == 0.0 or not np.all(signs == signs[0]):
+                        sign_ok = False
+                        break
+                if sign_ok:
+                    groupings.append(
+                        ((tuple(range(len(r.pairs))),), True)
+                    )
+                    continue
+            groupings.append(
+                (
+                    _greedy_box_groups_multi(
+                        [(boxes, polys) for boxes, _, polys in per],
+                        ok_all,
+                    ),
+                    False,
+                )
+            )
+        plan = _plan_for_groups(self._opt_commands, self._runs, groupings)
+        if plan is None:
+            return False
+        self._plan = plan
+        with self._fuse_lock:
+            have = plan.signature in self._fused_variants
+            if not have and (
+                len(self._fused_variants) + len(self._compiling)
+                >= self.MAX_FUSED_VARIANTS
+            ):
+                # An explicit motion plan outranks incidentally-cached
+                # groupings: evict the oldest to make room.
+                for key in list(self._fused_variants):
+                    if key != plan.signature:
+                        del self._fused_variants[key]
+                        break
+        if not have:
+            self._spawn_fused_compile(plan, stacks[0])
+        if wait:
+            return self.wait_fused_compiles(timeout=timeout)
+        return True
 
     def wait_fused_compiles(self, timeout=None):
         """Block until no background fused-variant compile is in
@@ -2539,6 +2788,10 @@ class FrameProgram:
             fused = self._try_fused(transforms)
             if fused is not None:
                 variant, transforms = fused
+        # A worker can install a fused variant between _refresh_cmd_f
+        # and _try_fused; never dispatch one whose blend constant is
+        # the value captured at spawn time.
+        self._ensure_constant(variant)
         desc_f, desc_i = Renderer._pack_descriptors(self._shapes)
         desc_static = np.ascontiguousarray(desc_i[:, [9, 8]])
         args = (
@@ -2612,11 +2865,14 @@ class FrameProgram:
                 self._plan_transforms_if_valid(self._plan, t)
                 for t in transforms
             ]
-            if all(f is not None for f in fused_frames):
-                variant = self._fused_variants[self._plan.signature][1]
+            with self._fuse_lock:
+                hit = self._fused_variants.get(self._plan.signature)
+            if hit is not None and all(f is not None for f in fused_frames):
+                variant = hit[1]
                 transforms = np.ascontiguousarray(
                     np.stack(fused_frames)
                 )
+        self._ensure_constant(variant)
         desc_f, desc_i = Renderer._pack_descriptors(self._shapes)
         desc_static = np.ascontiguousarray(desc_i[:, [9, 8]])
         frames, overflow = variant.step_sequence(

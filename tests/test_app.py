@@ -1,6 +1,8 @@
 """Application framework: frame loop, event queue, resize, sinks
 (the reference's winit loop semantics, application_framework.rs:236-263)."""
 
+import os
+
 import numpy as np
 
 from contrast_renderer_tpu.app import Application, CollectSink, FrameLoop
@@ -95,3 +97,56 @@ class TestFrameLoop:
         frame = loop.step()
         # Outside the rect: the white background, not transparent black.
         assert tuple(frame[2, 60]) == (255, 255, 255, 255)
+
+
+class TestViewerServer:
+    """The live-browser presentation surface (examples/viewer_server.py)
+    — the TPU-native analogue of the reference's index.html + server.js
+    WASM hosting (component #16): page served, raw-RGBA frames rendered
+    per camera state over HTTP."""
+
+    def test_page_and_frames_over_http(self):
+        import sys
+        import threading
+        import urllib.request
+        from http.server import ThreadingHTTPServer
+
+        sys.path.insert(
+            0,
+            os.path.join(os.path.dirname(__file__), "..", "examples"),
+        )
+        import viewer_server
+
+        size = 64
+        session = viewer_server.ShowcaseSession(
+            size, size, with_text=False
+        )
+        server = ThreadingHTTPServer(
+            ("127.0.0.1", 0), viewer_server.make_handler(session)
+        )
+        port = server.server_address[1]
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        try:
+            page = urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/", timeout=60
+            ).read().decode()
+            assert "<canvas" in page and str(size) in page
+            raw = urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/frame?yaw=0.3&pitch=0.1"
+                "&dist=5&t=0.5",
+                timeout=600,
+            ).read()
+            frame = np.frombuffer(raw, np.uint8).reshape(size, size, 4)
+            assert (frame[..., 3] == 255).all()  # composited over white
+            assert frame[..., :3].min() < 250    # some ink rendered
+            # A second camera state renders a different frame.
+            raw2 = urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/frame?yaw=1.1&pitch=0.4"
+                "&dist=7&t=1.0",
+                timeout=600,
+            ).read()
+            assert raw2 != raw
+        finally:
+            server.shutdown()
+            server.server_close()

@@ -1705,11 +1705,21 @@ class TestFrameProgramFusion:
         plan = program._derive_plan(transforms)
         assert plan is not None
         assert plan.signature == ((False, (0,), (1, 2)),)
-        # First frame: sequential walk + background compile spawned.
+        # First frame: sequential walk; the derived grouping is only
+        # COUNTED (compile hysteresis — continuous motion derives a
+        # fresh grouping every frame, and compiling each would starve
+        # the animation).
         assert np.array_equal(
             np.asarray(program(transforms)), seq.render(moved)
         )
         assert program._plan is None  # never blocks on a compile
+        assert not program._compiling
+        # Second frame under the SAME grouping: now the background
+        # compile spawns; the frame itself still dispatches sequential.
+        assert np.array_equal(
+            np.asarray(program(transforms)), seq.render(moved)
+        )
+        assert program._plan is None
         assert program.wait_fused_compiles(timeout=300.0)
         # Steady state: the compiled grouping serves from the cache.
         assert np.array_equal(
@@ -1788,3 +1798,62 @@ class TestFrameProgramFusion:
         r = Renderer(Configuration(), SIZE, SIZE, auto_instance=False)
         program = r.compile_frame(commands)
         assert program._runs == [] and program._fused_variants == {}
+
+    def test_plan_for_motion_fuses_across_sweep(self):
+        """plan_for_motion derives ONE grouping valid across a whole
+        motion (pairs fuse only where disjoint in EVERY frame), so a
+        camera path dispatches a single pre-compiled fused variant
+        with zero compiles in flight — pixel-exact per frame."""
+        shape = Shape([Path.from_circle((6.0, 6.0), 5.0)])
+        commands = self._commands(
+            shape, [(0.0, 0.0), (24.0, 0.0), (48.0, 0.0)]
+        )
+        r = Renderer(Configuration(), SIZE, SIZE)
+        program = r.compile_frame(commands)
+        seq = Renderer(Configuration(), SIZE, SIZE, auto_instance=False)
+
+        def at(dy):
+            moved = self._commands(
+                shape, [(0.0, dy), (24.0, 0.0), (48.0, dy)]
+            )
+            return Renderer._pack_transforms(moved), moved
+
+        assert program.plan_for_motion(
+            [at(dy)[0] for dy in (0.0, 8.0, 16.0)], timeout=300.0
+        )
+        sig = program._plan.signature
+        assert sig == ((False, (0, 1, 2)),)
+        for dy in (0.0, 8.0, 16.0):
+            transforms, moved = at(dy)
+            assert np.array_equal(
+                np.asarray(program(transforms)), seq.render(moved)
+            )
+            assert program._plan is not None
+            assert program._plan.signature == sig
+            assert not program._compiling
+
+    def test_plan_for_motion_excludes_colliding_pairs(self):
+        """A pair that collides with its group-mate in ANY frame of
+        the motion is excluded from that group; the rest still fuse."""
+        shape = Shape([Path.from_circle((8.0, 8.0), 7.0)])
+        commands = self._commands(
+            shape, [(0.0, 0.0), (40.0, 0.0), (20.0, 28.0)]
+        )
+        r = Renderer(Configuration(), SIZE, SIZE)
+        program = r.compile_frame(commands)
+        far = Renderer._pack_transforms(commands)
+        near_cmds = self._commands(
+            shape, [(0.0, 0.0), (6.0, 4.0), (20.0, 28.0)]
+        )
+        near = Renderer._pack_transforms(near_cmds)
+        assert program.plan_for_motion([far, near], timeout=300.0)
+        # Pair 1 overlaps pair 0 in the second frame: the motion plan
+        # must group (0,) + (1, 2).
+        assert program._plan.signature == ((False, (0,), (1, 2)),)
+        seq = Renderer(Configuration(), SIZE, SIZE, auto_instance=False)
+        assert np.array_equal(
+            np.asarray(program(near)), seq.render(near_cmds)
+        )
+        assert np.array_equal(
+            np.asarray(program(far)), seq.render(commands)
+        )

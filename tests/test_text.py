@@ -429,3 +429,82 @@ class TestCmapLegacyFormats:
         )
         mapping = self._parse(payload)
         assert mapping == {65: 7, 67: 9}
+
+
+class TestTextCommandsFused:
+    """text_commands_fused: ONE multi-shape instanced stencil + ONE
+    whole-string cover — the monolith's exact two-command walk
+    (renderer.rs:187-209, 267-355) over per-glyph cached tables."""
+
+    def _layout(self, size=24.0):
+        return Layout(
+            size=size,
+            orientation=Orientation.LEFT_TO_RIGHT,
+            major_alignment=Alignment.BEGIN,
+            minor_alignment=Alignment.BEGIN,
+        )
+
+    def test_matches_monolith_pixels(self, font):
+        from contrast_renderer_tpu.renderer import (
+            Configuration, DrawCommand, RenderOperation, Renderer)
+        from contrast_renderer_tpu.text import (
+            shape_of_text, text_commands_fused)
+
+        layout = self._layout()
+        text = "the quick brown fox\njumps over the lazy dog"
+        t = np.diag(
+            [2.0 / 300.0, 2.0 / 300.0, 1.0, 1.0]
+        ).astype(np.float32)
+        t[0, 3] = -1.0
+        t[1, 3] = 0.8
+        shape = shape_of_text(font.face, layout, text)
+        mono = Renderer(Configuration(), 256, 256).render([
+            DrawCommand(RenderOperation.STENCIL, shape, t),
+            DrawCommand(
+                RenderOperation.COLOR, shape, t, color=(1, 1, 1, 1)
+            ),
+        ])
+        commands = text_commands_fused(
+            font.face, layout, text, t, color=(1, 1, 1, 1)
+        )
+        # Exactly two commands: a multi-shape stencil carrying every
+        # glyph instance, and one cover.
+        assert len(commands) == 2
+        stencil, cover = commands
+        n_glyphs = sum(1 for ch in text if not ch.isspace())
+        assert stencil.n_instances == n_glyphs
+        assert len(stencil.shapes) == n_glyphs
+        assert cover.n_instances == 1
+        fused = Renderer(Configuration(), 256, 256).render(commands)
+        assert np.array_equal(mono, fused)
+
+    def test_translucent_color_matches_monolith(self, font):
+        """Translucent text is where per-glyph covers diverge from the
+        monolith (overlap double-paints); the fused form must match the
+        monolith exactly even then."""
+        from contrast_renderer_tpu.renderer import (
+            Configuration, DrawCommand, RenderOperation, Renderer)
+        from contrast_renderer_tpu.text import (
+            shape_of_text, text_commands_fused)
+
+        layout = self._layout(30.0)
+        text = "AVA To fi"
+        t = np.diag(
+            [2.0 / 200.0, 2.0 / 200.0, 1.0, 1.0]
+        ).astype(np.float32)
+        t[0, 3] = -1.0
+        t[1, 3] = 0.2
+        shape = shape_of_text(font.face, layout, text)
+        mono = Renderer(Configuration(), 128, 128).render([
+            DrawCommand(RenderOperation.STENCIL, shape, t),
+            DrawCommand(
+                RenderOperation.COLOR, shape, t,
+                color=(0.9, 0.4, 0.2, 0.5),
+            ),
+        ])
+        fused = Renderer(Configuration(), 128, 128).render(
+            text_commands_fused(
+                font.face, layout, text, t, color=(0.9, 0.4, 0.2, 0.5)
+            )
+        )
+        assert np.array_equal(mono, fused)
