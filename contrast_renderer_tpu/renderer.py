@@ -918,13 +918,48 @@ def _structural_runs(commands):
     return runs
 
 
+#: Near-plane eps of the HOST cover model.  Must equal the kernel's
+#: Sutherland–Hodgman eps (coverage.py make_prepare, ``eps = 1e-5``)
+#: so the host-side polygons below are the EXACT regions the kernel
+#: rasterizes; a smaller value would still be conservative-safe (a
+#: superset region), a larger one would not.
+_NEAR_CLIP_EPS = 1e-5
+
+
+def _clip_poly_near(hclip):
+    """Sutherland–Hodgman clip of one homogeneous polygon (h, 4)
+    against ``w > _NEAR_CLIP_EPS``, projected to NDC — the host mirror
+    of the kernel's cover clip (coverage.py make_prepare).  Returns
+    (k, 2) with k possibly < 3 (empty cover)."""
+    eps = _NEAR_CLIP_EPS
+    out = []
+    h = len(hclip)
+    for i in range(h):
+        a, b = hclip[i], hclip[(i + 1) % h]
+        wa, wb = a[3], b[3]
+        if wa > eps:
+            out.append(a)
+        if (wa > eps) != (wb > eps):
+            t = (eps - wa) / (wb - wa)
+            out.append(a + t * (b - a))
+    if len(out) < 3:
+        return np.zeros((0, 2))
+    out = np.asarray(out)
+    return out[:, :2] / out[:, 3:4]
+
+
 def _run_boxes(shape: "Shape", transforms):
     """Projected covers of one shape under a stack of transforms:
-    ``(boxes (m, 4) NDC min/max, ok (m,) bool, polys (m, h, 2))`` — ok
-    is False where the projection is not well-defined (near-plane
-    crossing / non-finite), vectorizing _cover_box over the run.
-    ``polys`` are the projected hull polygons, the EXACT cover regions
-    the kernel rasterizes (the boxes are their conservative AABBs)."""
+    ``(boxes (m, 4) NDC min/max, ok (m,) bool, polys (m, h+1, 2))`` —
+    ok is False only where the transform itself is non-finite.
+    ``polys`` are the projected hull polygons clipped against the near
+    plane exactly as the kernel clips them (coverage.py make_prepare's
+    Sutherland–Hodgman pass), so they are the EXACT cover regions the
+    kernel rasterizes (the boxes are their conservative AABBs).  A
+    fully-behind-the-camera cover draws nothing: its box is the empty
+    interval (+inf mins, −inf maxes, disjoint from everything) and its
+    polygon degenerates to a point (orientation sign 0, so escape
+    groups conservatively reject it)."""
     hull = np.asarray(shape.convex_hull, np.float64)
     m = len(transforms)
     if len(hull) == 0:
@@ -935,15 +970,30 @@ def _run_boxes(shape: "Shape", transforms):
     clip = np.einsum(
         "mrk,hk->mhr", np.asarray(transforms, np.float64), hom
     )
+    ok = np.all(np.isfinite(clip), axis=(1, 2))
     w = clip[..., 3]
-    ok = np.all(w > _FUSE_W_EPS, axis=-1)
+    front = w > _NEAR_CLIP_EPS
+    all_front = np.all(front, axis=-1) & ok
     with np.errstate(invalid="ignore", divide="ignore"):
         ndc = clip[..., :2] / np.where(
-            w[..., None] > _FUSE_W_EPS, w[..., None], 1.0
+            front[..., None], w[..., None], 1.0
         )
-    ok &= np.all(np.isfinite(ndc), axis=(1, 2))
+    h = hull.shape[0]
+    # One extra slot: clipping a convex polygon against a single plane
+    # adds at most one vertex; unused slots repeat a vertex (degenerate
+    # edges are inert in the SAT and contribute zero signed area).
+    polys = np.concatenate([ndc, ndc[:, :1]], axis=1)
     boxes = np.concatenate([ndc.min(axis=1), ndc.max(axis=1)], axis=-1)
-    return boxes, ok, ndc
+    for i in np.nonzero(~all_front & ok)[0]:
+        p = _clip_poly_near(clip[i])
+        if len(p) == 0:
+            boxes[i] = (np.inf, np.inf, -np.inf, -np.inf)
+            polys[i] = 0.0
+            continue
+        boxes[i] = (*p.min(axis=0), *p.max(axis=0))
+        polys[i, : len(p)] = p
+        polys[i, len(p):] = p[-1]
+    return boxes, ok, polys
 
 
 def _convex_polys_disjoint(pa, pb) -> bool:

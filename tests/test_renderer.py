@@ -1,6 +1,8 @@
 """End-to-end Renderer tests: stencil/cover command machine, instancing,
 clipping, opacity groups, dash animation without retrace."""
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -1856,4 +1858,84 @@ class TestFrameProgramFusion:
         )
         assert np.array_equal(
             np.asarray(program(far)), seq.render(commands)
+        )
+
+    def test_fully_behind_pair_fuses_as_empty_cover(self):
+        """A pair whose hull lands fully behind the camera in some
+        frame draws NOTHING there (the kernel's near-plane clip yields
+        an empty cover), so the host model treats its cover as the
+        empty region — disjoint from everything — instead of vetoing
+        the whole-motion plan.  An orbiting camera always has such
+        frames (shapes sweep behind the eye), which is exactly why the
+        4K-orbit motion plan failed to derive before this model."""
+        shape = Shape([Path.from_circle((6.0, 6.0), 5.0)])
+        commands = self._commands(
+            shape, [(0.0, 0.0), (24.0, 0.0), (48.0, 0.0)]
+        )
+        behind = np.array(
+            [
+                [1.0, 0.0, 0.0, 0.0],
+                [0.0, 1.0, 0.0, 0.0],
+                [0.0, 0.0, 0.0, 0.0],
+                [0.0, 0.0, 0.0, -1.0],
+            ],
+            np.float32,
+        )
+        front = Renderer._pack_transforms(commands)
+        mixed = front.copy()
+        mixed[2] = mixed[3] = behind  # pair 1's stencil + cover rows
+        r = Renderer(Configuration(), SIZE, SIZE)
+        program = r.compile_frame(commands)
+        assert program.plan_for_motion([front, mixed], timeout=300.0)
+        # The behind frame never splits the grouping: all three fuse.
+        assert program._plan.signature == ((False, (0, 1, 2)),)
+        seq = Renderer(Configuration(), SIZE, SIZE, auto_instance=False)
+        mixed_cmds = list(commands)
+        mixed_cmds[2] = dataclasses.replace(commands[2], transform=behind)
+        mixed_cmds[3] = dataclasses.replace(commands[3], transform=behind)
+        for tf, cmds in ((front, commands), (mixed, mixed_cmds)):
+            assert np.array_equal(
+                np.asarray(program(tf)), seq.render(cmds)
+            )
+
+    def test_near_plane_crossing_pair_fuses_when_clipped_cover_disjoint(self):
+        """A pair whose hull CROSSES the near plane used to veto any
+        grouping containing it (its projection was 'not well-defined').
+        The host now clips the hull against w > eps exactly as the
+        kernel does, so the pair fuses whenever its CLIPPED cover is
+        disjoint from its group — and the fused frame matches the
+        sequential walk at the crossing pose."""
+        shape = Shape([Path.from_circle((6.0, 6.0), 5.0)])
+        commands = self._commands(
+            shape, [(0.0, 0.0), (24.0, 0.0), (48.0, 0.0)]
+        )
+        crossing = np.array(
+            [
+                [0.02, 0.0, 0.0, 0.0],
+                [0.0, 0.02, 0.0, 0.0],
+                [0.0, 0.0, 0.0, 0.0],
+                # w = 0.1·y − 0.5 over hull y ∈ [1, 11]: crosses w = 0.
+                [0.0, 0.1, 0.0, -0.5],
+            ],
+            np.float32,
+        )
+        front = Renderer._pack_transforms(commands)
+        mixed = front.copy()
+        mixed[0] = mixed[1] = crossing
+        r = Renderer(Configuration(), SIZE, SIZE)
+        program = r.compile_frame(commands)
+        assert program.plan_for_motion([front, mixed], timeout=300.0)
+        # The clipped cover lands far up-right of the other two: all
+        # three pairs fuse despite the near-plane crossing.
+        assert program._plan.signature == ((False, (0, 1, 2)),)
+        seq = Renderer(Configuration(), SIZE, SIZE, auto_instance=False)
+        mixed_cmds = list(commands)
+        mixed_cmds[0] = dataclasses.replace(commands[0], transform=crossing)
+        mixed_cmds[1] = dataclasses.replace(commands[1], transform=crossing)
+        assert np.array_equal(
+            np.asarray(program(mixed)), seq.render(mixed_cmds)
+        )
+        assert np.array_equal(
+            np.asarray(program(front)),
+            seq.render(commands),
         )
