@@ -260,6 +260,22 @@ class FrameSpec:
     #: reason, renderer.rs:462-466).  None = decide from the draw
     #: count; True/False forces (tests exercise both layouts).
     stream_draws: "bool | None" = None
+    #: Clip/alpha bracket gating (renderer._gate_spans): tuples of
+    #: ``(content_units, machinery_units, row_pairs)`` — per outermost
+    #: balanced clip/alpha bracket, the kernel-walk unit indices whose
+    #: per-tile activity proves content landed in the tile, the
+    #: machinery unit indices (clip stencils, CLIP/UNCLIP covers,
+    #: SAVE/SCALE/RESTORE covers) to drop from tiles with none, and the
+    #: transform-row index pairs that must compare equal at runtime for
+    #: the bracket's opener/closer hulls to coincide (checked traced in
+    #: `prepare`; unequal rows disable the span's gating that frame).
+    #: A complete bracket is per-sample identity on every observable
+    #: buffer of a content-free tile — see _apply_gate_spans for the
+    #: proof obligations — so dropping it usually leaves the tile on
+    #: the acount == 0 empty fast path.  The reference gets the
+    #: analogous saving from hardware early-stencil rejection
+    #: (renderer.rs:692-729); a software per-tile walk bins it away.
+    gate_spans: tuple = ()
     #: Whether any shape in the scene carries stroke descriptor groups.
     #: False compiles the six stroke classes out of the per-(tile,
     #: command) walk — a scene without stroke groups cannot produce
@@ -1140,6 +1156,37 @@ def make_prepare(spec: FrameSpec):
         act_c = cover_active[:, jnp.asarray(np.maximum(draws.unit_draw, 0))]
         is_cover_u = jnp.asarray(draws.unit_draw >= 0)
         active = jnp.where(is_cover_u[None, :], act_c, act_s)
+        # ---- clip/alpha bracket gating ------------------------------
+        # Drop a balanced bracket's machinery units from tiles where
+        # none of the bracket's content units are active: the complete
+        # bracket is per-sample identity there (colorb: SAVE/SCALE/
+        # RESTORE compose to a no-op for any incoming alpha when hulls
+        # and opacities match; clipb: the closing UNCLIP demotes every
+        # promotion of the matching CLIP — promotions stay inside the
+        # clip-gated winding of the bracket's own stencils; wind/layerb:
+        # written and read only by the equally-gated machinery).  The
+        # static proof obligations (depth protocol, shape and opacity
+        # pairing) were discharged by renderer._gate_spans; hull
+        # coincidence (equal opener/closer transform rows) is the one
+        # runtime condition, checked here per frame.
+        for _content_u, _mach_u, _row_pairs in spec.gate_spans:
+            valid = jnp.bool_(True)
+            for _ra, _rb in _row_pairs:
+                valid = valid & jnp.all(
+                    transforms[_ra] == transforms[_rb]
+                )
+            _content_m = np.zeros(U, bool)
+            _content_m[list(_content_u)] = True
+            _mach_m = np.zeros(U, bool)
+            _mach_m[list(_mach_u)] = True
+            content_any = jnp.any(
+                active & jnp.asarray(_content_m)[None, :], axis=1
+            )
+            active = active & (
+                jnp.asarray(~_mach_m)[None, :]
+                | content_any[:, None]
+                | ~valid
+            )
         # Compact active unit indices per tile by a row-wise sort
         # (inactive slots key to U and sink to the tail) — cheaper than
         # a scatter on TPU and order-preserving.

@@ -90,7 +90,9 @@ def _packed_pipeline(sub, commands, out_uint8=False):
     inst = tuple(c.n_instances for c in commands)
     cmd_inst = inst if any(n != 1 for n in inst) else ()
     paints = tuple(_spec_paint(c.color) for c in commands)
-    spec = sub._spec(ops, cmd_shape, cmd_inst, scene, paints)
+    spec = sub._spec(
+        ops, cmd_shape, cmd_inst, scene, paints, commands=commands
+    )
     if out_uint8:
         spec = replace(spec, out_uint8=True)
     prepare, rasterize = sub._get_executors(spec)

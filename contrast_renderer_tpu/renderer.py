@@ -52,7 +52,9 @@ from .fill import FillBuilder
 from .ops import coverage
 from .path import DynamicStrokeOptions, Path, SegmentType
 from .stroke import StrokeBuilder
-from .vertex import KIND_INTEGRAL_QUADRATIC, KIND_SOLID, TriangleTable
+from .vertex import (
+    KIND_INTEGRAL_QUADRATIC, KIND_SOLID, KIND_STROKE_LINE, TriangleTable,
+)
 
 
 class RenderOperation(enum.IntEnum):
@@ -1041,6 +1043,179 @@ def _poly_orientation_signs(polys):
     return np.sign(area2)
 
 
+def _gate_spans(commands, spec) -> tuple:
+    """Static clip/alpha bracket analysis feeding coverage's per-tile
+    machinery gating (FrameSpec.gate_spans).
+
+    A complete bracket — clip stencil + CLIP … UNCLIP back to the
+    entry depth, or SAVE(+SCALE)/SAVE_SCALE … RESTORE on one layer —
+    is per-sample identity on every observable buffer of a tile where
+    none of the bracket's content draws land, so `prepare` may drop
+    its units from such tiles (usually leaving them on the empty-tile
+    fast path).  The reference gets the analogous saving from hardware
+    early-stencil rejection (renderer.rs:692-729).
+
+    This discharges every proof obligation that is static:
+
+    - depth protocol, simulated from 0: each CLIP opens at cur+1 with
+      its feeding machinery stencils at cur (clip-gated winding keeps
+      every promotion inside the enclosing clip region), each UNCLIP
+      closes at cur−1 on the SAME shape with the same instance count
+      (the closer's hulls contain exactly the opener's promotions);
+    - alpha protocol: SAVE/SAVE_SCALE … RESTORE pair on one layer and
+      one shape with the SAME group opacity (the reverse-subtract
+      undoes exactly one scale by g); nested saves must use distinct
+      layers (a shadowed layer slot would feed the outer restore the
+      inner save's snapshot);
+    - machinery stencils: winding consumed exclusively by machinery
+      covers (so skipping both leaves nothing half-consumed).
+
+    Hull coincidence — equal transform rows between paired commands —
+    is runtime state and is returned as ``row_pairs`` for prepare's
+    traced per-frame check.  Returns () — gate nothing — on ANY
+    deviation from the protocol; gating is an optimization, never a
+    semantics change.
+    """
+    ops = spec.ops
+    C = len(ops)
+    openers = (
+        coverage.OP_CLIP, coverage.OP_SAVE_ALPHA, coverage.OP_SAVE_SCALE
+    )
+    if not any(o in openers for o in ops):
+        return ()
+    machinery_ops = (
+        coverage.OP_CLIP, coverage.OP_UNCLIP, coverage.OP_SAVE_ALPHA,
+        coverage.OP_SCALE_ALPHA, coverage.OP_RESTORE_ALPHA,
+        coverage.OP_SAVE_SCALE,
+    )
+    draws = coverage.draw_tables(spec)
+    row_base = draws.row_base
+
+    def alphas_of(c):
+        """Per-instance opacity tuple of a machinery cover's color, or
+        None when it is not a plain color."""
+        if _paint_kind(c.color):
+            return None
+        a = np.asarray(c.color, np.float64)
+        if a.ndim == 1:
+            a = a[None, :]
+        if a.ndim != 2 or a.shape[-1] != 4:
+            return None
+        try:
+            return tuple(
+                np.broadcast_to(a[:, 3], (c.n_instances,)).tolist()
+            )
+        except ValueError:
+            return None
+
+    mach = [o in machinery_ops for o in ops]
+    for i, o in enumerate(ops):
+        if o == coverage.OP_STENCIL:
+            consumers = []
+            j = i + 1
+            while j < C and ops[j] != coverage.OP_STENCIL:
+                consumers.append(j)
+                j += 1
+            mach[i] = bool(consumers) and all(mach[j] for j in consumers)
+
+    def rows(i):
+        return range(int(row_base[i]), int(row_base[i + 1]))
+
+    cur = 0
+    clip_stack = []
+    alpha_stack = []
+    spans = []
+    pairs = []
+    start = None
+    for i, c in enumerate(commands):
+        o = ops[i]
+        if o == coverage.OP_STENCIL:
+            if mach[i] and c.clip_depth != cur:
+                return ()
+            continue
+        if start is None and o in openers:
+            s = i
+            while s > 0 and ops[s - 1] == coverage.OP_STENCIL and mach[s - 1]:
+                s -= 1
+            start = s
+            pairs = []
+        if o == coverage.OP_CLIP:
+            if c.clip_depth != cur + 1:
+                return ()
+            clip_stack.append(i)
+            cur += 1
+        elif o == coverage.OP_UNCLIP:
+            if not clip_stack or c.clip_depth != cur - 1:
+                return ()
+            j = clip_stack.pop()
+            if (
+                spec.cmd_shape[j] != spec.cmd_shape[i]
+                or commands[j].n_instances != c.n_instances
+            ):
+                return ()
+            pairs += list(zip(rows(j), rows(i)))
+            cur -= 1
+        elif o in (coverage.OP_SAVE_ALPHA, coverage.OP_SAVE_SCALE):
+            g = alphas_of(c) if o == coverage.OP_SAVE_SCALE else None
+            if o == coverage.OP_SAVE_SCALE and g is None:
+                return ()
+            if any(top[1] == c.alpha_layer for top in alpha_stack):
+                return ()
+            alpha_stack.append([i, c.alpha_layer, g])
+        elif o == coverage.OP_SCALE_ALPHA:
+            if not alpha_stack:
+                return ()
+            top = alpha_stack[-1]
+            g = alphas_of(c)
+            if (
+                top[2] is not None
+                or g is None
+                or spec.cmd_shape[top[0]] != spec.cmd_shape[i]
+                or commands[top[0]].n_instances != c.n_instances
+            ):
+                return ()
+            top[2] = g
+            pairs += list(zip(rows(top[0]), rows(i)))
+        elif o == coverage.OP_RESTORE_ALPHA:
+            if not alpha_stack:
+                return ()
+            j, layer, g = alpha_stack.pop()
+            if (
+                c.alpha_layer != layer
+                or g is None
+                or alphas_of(c) != g
+                or spec.cmd_shape[j] != spec.cmd_shape[i]
+                or commands[j].n_instances != c.n_instances
+            ):
+                return ()
+            pairs += list(zip(rows(j), rows(i)))
+        elif start is None and mach[i]:
+            # Machinery outside any span (stray SCALE etc.): bail.
+            return ()
+        if start is not None and not clip_stack and not alpha_stack:
+            spans.append((start, i + 1, tuple(pairs)))
+            start = None
+            pairs = []
+    if clip_stack or alpha_stack:
+        return ()
+    ucmd = draws.unit_cmd
+    out = []
+    for s, e, rp in spans:
+        content_u = tuple(
+            int(u)
+            for u in range(len(ucmd))
+            if s <= ucmd[u] < e and not mach[ucmd[u]]
+        )
+        mach_u = tuple(
+            int(u)
+            for u in range(len(ucmd))
+            if s <= ucmd[u] < e and mach[ucmd[u]]
+        )
+        if content_u and mach_u:
+            out.append((content_u, mach_u, rp))
+    return tuple(out)
+
+
 #: Blend states under which painting the SAME opaque color twice at a
 #: sample equals painting it once (canonical (src, op, dst) forms of
 #: back_to_front source-over and front_to_back) — the precondition of
@@ -1258,6 +1433,12 @@ class _SceneArrays:
         #: Unpadded triangle count per shape — _spec's density estimate
         #: sums these over the actual (command, instance) draws.
         self.tri_counts = tuple(len(s.triangles) for s in shapes)
+        #: Stroke rows (line/joint kinds) across the scene: _spec's
+        #: strip auto-tune keys on stroke dominance for sparse scenes.
+        self.stroke_rows = sum(
+            int((np.asarray(s.triangles.kind) >= KIND_STROKE_LINE).sum())
+            for s in shapes
+        )
         #: Total stroke descriptor groups: 0 compiles the stroke
         #: classes out of the kernel walk (coverage.FrameSpec.
         #: has_strokes) — no stroke group, no stroke entries.
@@ -1560,7 +1741,7 @@ class Renderer:
         return key, scene
 
     def _spec(self, ops, cmd_shape, cmd_inst, scene,
-              paints=()) -> coverage.FrameSpec:
+              paints=(), commands=None) -> coverage.FrameSpec:
         # Auto-tuning by scene density (padded triangles per SHAPE — a
         # static proxy for per-(tile, command) entry range length: wide
         # batches only pay off when one command's ranges are long).
@@ -1583,12 +1764,28 @@ class Renderer:
             default=0,
         )
         density = max(scene.t_max, multi_rows)
+        # Strip auto-tune, measured on v5e (benchmarks/ablate_strips.sh,
+        # strips ∈ {1, 2, 4}, 16-frame batches): dense glyph scenes
+        # (config 4) 549→565 kglyphs/s monolith and 539→562 instanced
+        # at strips=2; the all-stroke 1080p scene (config 3, sparse
+        # tier) 67.3→70.7 FPS at strips=2 (stroke SDFs evaluate across
+        # the whole tile face, so squarer footprints waste fewer
+        # lanes); but the fill-dominated 4K showcase REGRESSES 76.6→
+        # 69.1 (and clip/alpha 56.6→56.1), so sparse fill scenes stay
+        # on the native (th, 128) footprint.  strips=4 loses everywhere
+        # (config 3: 51.6; config 5: 59.9).
+        total_rows = max(1, sum(scene.tri_counts))
+        stroke_dom = scene.stroke_rows * 2 > total_rows
         if density >= 32768:
-            auto_tile, auto_batch, auto_strips = 8, 32, 1
+            auto_tile, auto_batch, auto_strips = 8, 32, 2
         elif density >= 4096:
-            auto_tile, auto_batch, auto_strips = 16, 8, 1
+            # Unmeasured middle ground: follow the sparse rule (the
+            # dense fill win and the sparse fill loss bracket it).
+            auto_tile, auto_batch = 16, 8
+            auto_strips = 2 if stroke_dom else 1
         else:
-            auto_tile, auto_batch, auto_strips = 32, 2, 1
+            auto_tile, auto_batch = 32, 2
+            auto_strips = 2 if stroke_dom else 1
         fill_batch = (
             auto_batch if self.fill_batch is None else self.fill_batch
         )
@@ -1596,7 +1793,7 @@ class Renderer:
         tile_strips = (
             auto_strips if self.tile_strips is None else self.tile_strips
         )
-        return coverage.FrameSpec(
+        spec = coverage.FrameSpec(
             width=self.width,
             height=self.height,
             ops=ops,
@@ -1629,6 +1826,11 @@ class Renderer:
             has_strokes=scene.n_desc > 0,
             interpret=self._interpret_flag(),
         )
+        if commands is not None:
+            gates = _gate_spans(commands, spec)
+            if gates:
+                spec = replace(spec, gate_spans=gates)
+        return spec
 
     def _get_executors(self, spec):
         execs = self._executors.get(spec)
@@ -1972,7 +2174,10 @@ class Renderer:
                 "uint8_kernel does not compose with background/srgb"
             )
         for _attempt in range(4):
-            spec = self._spec(ops, cmd_shape, cmd_inst, scene, paints)
+            spec = self._spec(
+                ops, cmd_shape, cmd_inst, scene, paints,
+                commands=commands,
+            )
             prepare, rasterize = self._get_executors(spec)
             # The binning stage (and its cache) is shared between the
             # float and packed-u8 output modes; only the raster stage
@@ -2324,7 +2529,10 @@ class FrameProgram:
         paints = tuple(_spec_paint(c.color) for c in opt_commands)
         inst = tuple(c.n_instances for c in opt_commands)
         cmd_inst = inst if any(n != 1 for n in inst) else ()
-        spec = renderer._spec(ops, cmd_shape, cmd_inst, scene, paints)
+        spec = renderer._spec(
+            ops, cmd_shape, cmd_inst, scene, paints,
+            commands=opt_commands,
+        )
         spec = replace(spec, **self._caps)
         if self._uint8:
             spec = replace(spec, out_uint8=True)

@@ -1939,3 +1939,129 @@ class TestFrameProgramFusion:
             np.asarray(program(front)),
             seq.render(commands),
         )
+
+
+class TestBracketGating:
+    """Per-tile clip/alpha machinery gating (FrameSpec.gate_spans):
+    tiles no content draw touches drop the whole balanced bracket —
+    provably identity there — usually onto the empty-tile fast path.
+    Each case compares against a gating-disabled render bit-exactly."""
+
+    W = H = 256  # several tiles in each direction
+
+    def _scene(self, content_transform=None, unclip_transform=None):
+        """Nested clip + alpha group over a full-viewport rect, with a
+        small circle of content in the top-left corner only."""
+        identity = np.eye(4, dtype=np.float32)
+        clip_shape = Shape([Path.from_rect((0.0, 0.0), (1.0, 1.0))])
+        cover = Shape([Path.from_rect((0.0, 0.0), (1.0, 1.0))])
+        content = Shape([Path.from_circle((-0.7, 0.7), 0.15)])
+        ct = identity if content_transform is None else content_transform
+        ut = identity if unclip_transform is None else unclip_transform
+        return [
+            DrawCommand(RenderOperation.STENCIL, clip_shape, identity),
+            DrawCommand(
+                RenderOperation.CLIP, clip_shape, identity, clip_depth=1
+            ),
+            DrawCommand(
+                RenderOperation.SAVE_ALPHA_CONTEXT, cover, identity,
+                clip_depth=1, alpha_layer=0,
+            ),
+            DrawCommand(
+                RenderOperation.SCALE_ALPHA_CONTEXT, cover, identity,
+                clip_depth=1, color=(0.0, 0.0, 0.0, 0.5),
+            ),
+            DrawCommand(
+                RenderOperation.STENCIL, content, ct, clip_depth=1
+            ),
+            DrawCommand(
+                RenderOperation.COLOR, content, ct,
+                color=(0.9, 0.4, 0.1, 1.0), clip_depth=1,
+            ),
+            DrawCommand(
+                RenderOperation.RESTORE_ALPHA_CONTEXT, cover, identity,
+                clip_depth=1, color=(0.0, 0.0, 0.0, 0.5),
+                alpha_layer=0,
+            ),
+            DrawCommand(
+                RenderOperation.UNCLIP, clip_shape, ut, clip_depth=0
+            ),
+        ]
+
+    def _render_both(self, commands, monkeypatch):
+        from contrast_renderer_tpu import renderer as renderer_mod
+
+        config = Configuration(
+            alpha_layer_count=1, blending="front_to_back"
+        )
+        gated = Renderer(config, self.W, self.H).render(commands)
+        monkeypatch.setattr(
+            renderer_mod, "_gate_spans", lambda commands, spec: ()
+        )
+        ungated = Renderer(config, self.W, self.H).render(commands)
+        return gated, ungated
+
+    def test_gated_bracket_matches_ungated(self, monkeypatch):
+        commands = self._scene()
+        from contrast_renderer_tpu import renderer as renderer_mod
+
+        r = Renderer(
+            Configuration(alpha_layer_count=1, blending="front_to_back"),
+            self.W, self.H,
+        )
+        # The analysis derives a span for this stream (sanity: the
+        # optimization actually engages before we assert equality).
+        opt, _ = renderer_mod._optimize_commands(commands)
+        shapes, shape_index = r._unique_shapes(opt)
+        _, scene = r._scene_arrays(shapes)
+        spec = r._spec(
+            tuple(int(c.operation) for c in opt),
+            tuple(
+                Renderer._cmd_shape_entry(c, shape_index) for c in opt
+            ),
+            (),
+            scene,
+            tuple(renderer_mod._spec_paint(c.color) for c in opt),
+            commands=opt,
+        )
+        assert spec.gate_spans
+        gated, ungated = self._render_both(commands, monkeypatch)
+        assert np.array_equal(gated, ungated)
+        # The content circle actually rendered (the gate did not eat
+        # the content tiles).
+        assert gated[..., 3].max() > 0.0
+
+    def test_mismatched_bracket_rows_disable_gating_at_runtime(
+        self, monkeypatch
+    ):
+        # The UNCLIP cover's transform differs from its CLIP's: the
+        # traced row-pair check must disable the span's gating, and the
+        # frame must still match the ungated render bit-exactly.
+        shifted = np.eye(4, dtype=np.float32)
+        shifted[0, 3] = 0.25
+        commands = self._scene(unclip_transform=shifted)
+        gated, ungated = self._render_both(commands, monkeypatch)
+        assert np.array_equal(gated, ungated)
+
+    def test_unbalanced_stream_never_gates(self):
+        from contrast_renderer_tpu import renderer as renderer_mod
+
+        commands = self._scene()[:-1]  # drop the closing UNCLIP
+        r = Renderer(
+            Configuration(alpha_layer_count=1, blending="front_to_back"),
+            self.W, self.H,
+        )
+        opt, _ = renderer_mod._optimize_commands(commands)
+        shapes, shape_index = r._unique_shapes(opt)
+        _, scene = r._scene_arrays(shapes)
+        spec = r._spec(
+            tuple(int(c.operation) for c in opt),
+            tuple(
+                Renderer._cmd_shape_entry(c, shape_index) for c in opt
+            ),
+            (),
+            scene,
+            tuple(renderer_mod._spec_paint(c.color) for c in opt),
+            commands=opt,
+        )
+        assert spec.gate_spans == ()
