@@ -143,6 +143,7 @@ class TestFiniteValidation:
             )
 
 
+@pytest.mark.slow  # fast gate keeps one compile per feature area; full battery in CI device-slow
 class TestClipInsideOpacityGroup:
     def test_clipped_content_inside_group(self):
         # The reference's nesting interplay (renderer.rs:756-861): a clip
@@ -292,6 +293,7 @@ class TestCopyAffine:
         assert p.stroke_options.width == 2.0
 
 
+@pytest.mark.slow  # fast gate keeps one compile per feature area; full battery in CI device-slow
 class TestResize:
     def test_resize_renders_at_new_size(self):
         renderer = Renderer(Configuration(), SIZE, SIZE)

@@ -10,6 +10,11 @@ process.
 """
 
 import numpy as np
+import pytest
+
+#: The driver exercises both entry points on every round; the fast
+#: gate need not pay their compiles again.
+pytestmark = pytest.mark.slow
 
 
 def test_dryrun_multichip_with_jax_already_imported():

@@ -38,6 +38,7 @@ def device_winding(table, width=SIZE, height=SIZE, **kw):
     return np.asarray(winding), int(max_count)
 
 
+@pytest.mark.slow  # oracle batteries; golden-image smoke stays in the fast gate
 class TestDeviceMatchesOracle:
     @pytest.mark.parametrize(
         "make",

@@ -285,6 +285,7 @@ class TestNearPlaneClipping:
         assert (image == 0.0).all()
 
 
+@pytest.mark.slow  # fast gate keeps one compile per feature area; full battery in CI device-slow
 class TestClipAlphaInterplay:
     def test_opacity_group_inside_clip(self):
         """Opacity-group save/scale/restore nested inside a clip region
@@ -342,6 +343,7 @@ class TestClipAlphaInterplay:
         assert np.allclose(image[10, 10], [0, 1, 0, 1], atol=1e-4)
 
 
+@pytest.mark.slow  # fast gate keeps one compile per feature area; full battery in CI device-slow
 class TestKernelSpecializations:
     """The kernel compiles specialized variants per frame signature
     (no-clip/no-alpha frames, stroke batch width); their semantics must
@@ -777,6 +779,7 @@ class TestDepth:
         ), np.abs(with_depth[interior] - center_only[interior]).max()
 
 
+@pytest.mark.slow  # fast gate keeps one compile per feature area; full battery in CI device-slow
 class TestInstancing:
     """Single-draw instancing (reference instance_range + instance-rate
     transform/color attributes, renderer.rs:267, 462-466): a stencil
@@ -874,6 +877,7 @@ class TestInstancing:
             )
 
 
+@pytest.mark.slow  # fast gate keeps one compile per feature area; full battery in CI device-slow
 class TestCarryProbe:
     """The fused completion probe: render(carry=...) and
     FrameProgram(..., carry=...) return (image, carry + sum(alpha))
@@ -1025,6 +1029,7 @@ class TestCarryProbe:
             )
 
 
+@pytest.mark.slow  # fast gate keeps one compile per feature area; full battery in CI device-slow
 class TestSaveScaleFusion:
     """SaveAlphaContext + ScaleAlphaContext over the identical cover
     fuse into one kernel pass (coverage.OP_SAVE_SCALE); semantics must
@@ -1125,6 +1130,7 @@ class TestSaveScaleFusion:
         assert np.allclose(default[32, 32], [0.5, 0, 0.5, 1.0], atol=1e-4)
 
 
+@pytest.mark.slow  # fast gate keeps one compile per feature area; full battery in CI device-slow
 class TestGradientPaints:
     """Two-stop linear/radial gradient paints (TPU-native extension:
     the reference's color cover is solid-only, shaders.wgsl:304-309).
@@ -1330,6 +1336,7 @@ class TestGradientPaints:
             )
 
 
+@pytest.mark.slow  # fast gate keeps one compile per feature area; full battery in CI device-slow
 class TestUserPaint:
     """renderer.UserPaint: user-supplied JAX-traceable paint functions
     compiled into the cover composite — the reference's user-defined
@@ -1451,6 +1458,7 @@ class TestUserPaint:
         assert np.abs(image - want).max() < 1e-4
 
 
+@pytest.mark.slow  # fast gate keeps one compile per feature area; full battery in CI device-slow
 class TestRenderSequence:
     def test_sequence_matches_per_frame(self, renderer):
         """render_sequence (one dispatch, lax.scan over frames) produces
@@ -1503,6 +1511,7 @@ class TestRenderSequence:
         assert len(opt) == 2 and keep is None
 
 
+@pytest.mark.slow  # fast gate keeps one compile per feature area; full battery in CI device-slow
 class TestSrgbOutput:
     def test_srgb_quantization_matches_host_conversion(self, renderer):
         from contrast_renderer_tpu.utils.color import linear_to_srgb
@@ -1527,6 +1536,7 @@ class TestSrgbOutput:
         assert device[32, 32, 0] > int(0.2 * 255) + 30
 
 
+@pytest.mark.slow  # fast gate keeps one compile per feature area; full battery in CI device-slow
 class TestAutoInstancing:
     """render()'s _fuse_instance_runs pass: consecutive per-instance
     (Stencil, Color) pairs collapse into instanced draws wherever the

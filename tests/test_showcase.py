@@ -135,6 +135,7 @@ class TestShowcase:
         assert len(renderer._executors) == 1  # no retrace
 
 
+@pytest.mark.slow  # mesh-program compiles; the driver dryrun covers multichip every round
 class TestMultiChip:
     def test_band_sharded_matches_single_device(self, shape):
         import jax

@@ -244,6 +244,7 @@ class TestShapeOfText:
         assert getattr(font.face, "_glyph_table_cache", None)
 
 
+@pytest.mark.slow  # large instanced batteries; the fused-command equality below stays in the fast gate
 class TestTextCommands:
     """text_commands: instanced per-unique-glyph draws (the reference's
     per-glyph vertex buffers + instanced draw, text.rs:97-104,
