@@ -262,18 +262,19 @@ class FrameSpec:
     stream_draws: "bool | None" = None
     #: Clip/alpha bracket gating (renderer._gate_spans): tuples of
     #: ``(content_units, machinery_units, row_pairs)`` — per outermost
-    #: balanced clip/alpha bracket, the kernel-walk unit indices whose
-    #: per-tile activity proves content landed in the tile, the
+    #: balanced clip/alpha bracket, the FRAME-wide non-machinery unit
+    #: indices whose per-tile activity marks the tile as touched, the
     #: machinery unit indices (clip stencils, CLIP/UNCLIP covers,
-    #: SAVE/SCALE/RESTORE covers) to drop from tiles with none, and the
-    #: transform-row index pairs that must compare equal at runtime for
-    #: the bracket's opener/closer hulls to coincide (checked traced in
-    #: `prepare`; unequal rows disable the span's gating that frame).
-    #: A complete bracket is per-sample identity on every observable
-    #: buffer of a content-free tile — see _apply_gate_spans for the
-    #: proof obligations — so dropping it usually leaves the tile on
-    #: the acount == 0 empty fast path.  The reference gets the
-    #: analogous saving from hardware early-stencil rejection
+    #: SAVE/SCALE/RESTORE covers) to drop from untouched tiles, and
+    #: the transform-row index pairs that must compare equal at
+    #: runtime for the bracket's opener/closer hulls to coincide
+    #: (checked traced in `prepare`; unequal rows disable the span's
+    #: gating that frame).  On an untouched tile frame alpha is
+    #: exactly 0 and the complete bracket is BIT-exact identity on the
+    #: color buffer — see renderer._gate_spans for the proof
+    #: obligations — so dropping it usually leaves the tile on the
+    #: acount == 0 empty fast path.  The reference gets the analogous
+    #: saving from hardware early-stencil rejection
     #: (renderer.rs:692-729); a software per-tile walk bins it away.
     gate_spans: tuple = ()
     #: Whether any shape in the scene carries stroke descriptor groups.
@@ -1157,18 +1158,18 @@ def make_prepare(spec: FrameSpec):
         is_cover_u = jnp.asarray(draws.unit_draw >= 0)
         active = jnp.where(is_cover_u[None, :], act_c, act_s)
         # ---- clip/alpha bracket gating ------------------------------
-        # Drop a balanced bracket's machinery units from tiles where
-        # none of the bracket's content units are active: the complete
-        # bracket is per-sample identity there (colorb: SAVE/SCALE/
-        # RESTORE compose to a no-op for any incoming alpha when hulls
-        # and opacities match; clipb: the closing UNCLIP demotes every
-        # promotion of the matching CLIP — promotions stay inside the
-        # clip-gated winding of the bracket's own stencils; wind/layerb:
-        # written and read only by the equally-gated machinery).  The
-        # static proof obligations (depth protocol, shape and opacity
-        # pairing) were discharged by renderer._gate_spans; hull
-        # coincidence (equal opener/closer transform rows) is the one
-        # runtime condition, checked here per frame.
+        # Drop a balanced bracket's machinery units from tiles NO
+        # content unit of the whole frame touches: frame alpha is
+        # exactly 0 there, and the complete bracket is then bit-exact
+        # identity on the color buffer (save/scale/restore over a0 = 0
+        # computes fl(1−g) − fl(1·fl(1−g)) = 0 with no rounding slack;
+        # clip ops never touch color; wind/layerb are written and read
+        # only by the equally-gated machinery).  The static proof
+        # obligations (depth protocol, shape/layer/opacity pairing,
+        # identical issue-time clip state) were discharged by
+        # renderer._gate_spans; hull coincidence (equal opener/closer
+        # transform rows) is the one runtime condition, checked here
+        # per frame.
         for _content_u, _mach_u, _row_pairs in spec.gate_spans:
             valid = jnp.bool_(True)
             for _ra, _rb in _row_pairs:

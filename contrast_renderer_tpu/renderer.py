@@ -920,19 +920,28 @@ def _structural_runs(commands):
     return runs
 
 
-#: Near-plane eps of the HOST cover model.  Must equal the kernel's
-#: Sutherland–Hodgman eps (coverage.py make_prepare, ``eps = 1e-5``)
-#: so the host-side polygons below are the EXACT regions the kernel
-#: rasterizes; a smaller value would still be conservative-safe (a
-#: superset region), a larger one would not.
-_NEAR_CLIP_EPS = 1e-5
+#: Near-plane eps of the HOST cover model.  Must be ≤ BOTH kernel
+#: epsilons — the cover hull clip (coverage.py make_prepare,
+#: ``eps = 1e-5``) and the stencil triangle clip (``w_eps = 1e-6``) —
+#: so the host polygon is a SUPERSET of everything instance i can
+#: touch on screen: its cover region (clipped at 1e-5 ⊆ the 1e-6
+#: region) and its stencil winding (triangles ⊆ hull in clip space,
+#: both clipped at 1e-6, containment survives projection).  Fusion
+#: soundness needs winding containment, not just cover containment:
+#: covers zero winding only inside their own hull, so an instance
+#: whose near-eps sliver winding escaped a smaller host polygon could
+#: light up a groupmate's cover where the sequential walk paints
+#: nothing.  Disjointness of supersets implies disjointness of the
+#: real regions; near-eps projections blow up to huge coordinates and
+#: simply refuse to fuse — conservative, never wrong.
+_NEAR_CLIP_EPS = 1e-6
 
 
 def _clip_poly_near(hclip):
     """Sutherland–Hodgman clip of one homogeneous polygon (h, 4)
-    against ``w > _NEAR_CLIP_EPS``, projected to NDC — the host mirror
-    of the kernel's cover clip (coverage.py make_prepare).  Returns
-    (k, 2) with k possibly < 3 (empty cover)."""
+    against ``w > _NEAR_CLIP_EPS``, projected to NDC — the containing
+    model of the kernel's cover and stencil clips (see _NEAR_CLIP_EPS).
+    Returns (k, 2) with k possibly < 3 (empty cover)."""
     eps = _NEAR_CLIP_EPS
     out = []
     h = len(hclip)
@@ -955,10 +964,10 @@ def _run_boxes(shape: "Shape", transforms):
     ``(boxes (m, 4) NDC min/max, ok (m,) bool, polys (m, h+1, 2))`` —
     ok is False only where the transform itself is non-finite.
     ``polys`` are the projected hull polygons clipped against the near
-    plane exactly as the kernel clips them (coverage.py make_prepare's
-    Sutherland–Hodgman pass), so they are the EXACT cover regions the
-    kernel rasterizes (the boxes are their conservative AABBs).  A
-    fully-behind-the-camera cover draws nothing: its box is the empty
+    plane at _NEAR_CLIP_EPS — a convex SUPERSET of both the cover
+    region the kernel rasterizes and the stencil winding it deposits
+    (the boxes are the polygons' conservative AABBs).  A hull fully
+    behind w = eps touches nothing on screen: its box is the empty
     interval (+inf mins, −inf maxes, disjoint from everything) and its
     polygon degenerates to a point (orientation sign 0, so escape
     groups conservatively reject it)."""
@@ -1043,17 +1052,51 @@ def _poly_orientation_signs(polys):
     return np.sign(area2)
 
 
+def _is_mach_op(o) -> bool:
+    """Whether op ``o`` is clip/alpha machinery (see _gate_spans)."""
+    return o in (
+        coverage.OP_CLIP, coverage.OP_UNCLIP, coverage.OP_SAVE_ALPHA,
+        coverage.OP_SCALE_ALPHA, coverage.OP_RESTORE_ALPHA,
+        coverage.OP_SAVE_SCALE,
+    )
+
+
+def _machinery_alphas(c):
+    """Per-instance opacity tuple of a machinery cover's color, or
+    None when it is not a plain color."""
+    if _paint_kind(c.color):
+        return None
+    a = np.asarray(c.color, np.float64)
+    if a.ndim == 1:
+        a = a[None, :]
+    if a.ndim != 2 or a.shape[-1] != 4:
+        return None
+    try:
+        return tuple(
+            np.broadcast_to(a[:, 3], (c.n_instances,)).tolist()
+        )
+    except ValueError:
+        return None
+
+
 def _gate_spans(commands, spec) -> tuple:
     """Static clip/alpha bracket analysis feeding coverage's per-tile
     machinery gating (FrameSpec.gate_spans).
 
-    A complete bracket — clip stencil + CLIP … UNCLIP back to the
-    entry depth, or SAVE(+SCALE)/SAVE_SCALE … RESTORE on one layer —
-    is per-sample identity on every observable buffer of a tile where
-    none of the bracket's content draws land, so `prepare` may drop
-    its units from such tiles (usually leaving them on the empty-tile
-    fast path).  The reference gets the analogous saving from hardware
-    early-stencil rejection (renderer.rs:692-729).
+    On a tile where NO content draw of the whole frame lands, frame
+    alpha is exactly 0.0 under every machinery op, and a complete
+    bracket — clip stencil + CLIP … UNCLIP back to the entry depth, or
+    SAVE(+SCALE)/SAVE_SCALE … RESTORE on one layer — is then BIT-EXACT
+    identity on the color buffer: the save/scale/restore chain over
+    a0 = 0 computes fl(1−g) − fl((1−0)·fl(1−g)) = 0 with no rounding
+    slack, and clip ops never touch color.  So `prepare` may drop the
+    machinery from such tiles (usually leaving them on the empty-tile
+    fast path).  Content activity is deliberately FRAME-wide, not
+    span-wide: with content anywhere in the tile, frame alpha can be
+    nonzero and the float composition would differ from identity by
+    rounding, so those tiles keep their machinery.  The reference gets
+    the analogous saving from hardware early-stencil rejection
+    (renderer.rs:692-729).
 
     This discharges every proof obligation that is static:
 
@@ -1064,9 +1107,12 @@ def _gate_spans(commands, spec) -> tuple:
       (the closer's hulls contain exactly the opener's promotions);
     - alpha protocol: SAVE/SAVE_SCALE … RESTORE pair on one layer and
       one shape with the SAME group opacity (the reverse-subtract
-      undoes exactly one scale by g); nested saves must use distinct
-      layers (a shadowed layer slot would feed the outer restore the
-      inner save's snapshot);
+      undoes exactly one scale by g), issued at the SAME clip depth
+      under the SAME open-clip state (the kernel masks every alpha op
+      with clipb == its depth — a restore issued after the bracket's
+      unclip would apply nowhere while its save applied somewhere);
+      nested saves must use distinct layers (a shadowed layer slot
+      would feed the outer restore the inner save's snapshot);
     - machinery stencils: winding consumed exclusively by machinery
       covers (so skipping both leaves nothing half-consumed).
 
@@ -1091,23 +1137,7 @@ def _gate_spans(commands, spec) -> tuple:
     draws = coverage.draw_tables(spec)
     row_base = draws.row_base
 
-    def alphas_of(c):
-        """Per-instance opacity tuple of a machinery cover's color, or
-        None when it is not a plain color."""
-        if _paint_kind(c.color):
-            return None
-        a = np.asarray(c.color, np.float64)
-        if a.ndim == 1:
-            a = a[None, :]
-        if a.ndim != 2 or a.shape[-1] != 4:
-            return None
-        try:
-            return tuple(
-                np.broadcast_to(a[:, 3], (c.n_instances,)).tolist()
-            )
-        except ValueError:
-            return None
-
+    alphas_of = _machinery_alphas
     mach = [o in machinery_ops for o in ops]
     for i, o in enumerate(ops):
         if o == coverage.OP_STENCIL:
@@ -1161,7 +1191,11 @@ def _gate_spans(commands, spec) -> tuple:
                 return ()
             if any(top[1] == c.alpha_layer for top in alpha_stack):
                 return ()
-            alpha_stack.append([i, c.alpha_layer, g])
+            # The kernel masks every alpha op with clipb == its depth:
+            # record the issue-time clip state so scale/restore are
+            # provably issued under the identical mask.
+            clip_state = (c.clip_depth, tuple(clip_stack))
+            alpha_stack.append([i, c.alpha_layer, g, clip_state])
         elif o == coverage.OP_SCALE_ALPHA:
             if not alpha_stack:
                 return ()
@@ -1170,6 +1204,7 @@ def _gate_spans(commands, spec) -> tuple:
             if (
                 top[2] is not None
                 or g is None
+                or top[3] != (c.clip_depth, tuple(clip_stack))
                 or spec.cmd_shape[top[0]] != spec.cmd_shape[i]
                 or commands[top[0]].n_instances != c.n_instances
             ):
@@ -1179,11 +1214,12 @@ def _gate_spans(commands, spec) -> tuple:
         elif o == coverage.OP_RESTORE_ALPHA:
             if not alpha_stack:
                 return ()
-            j, layer, g = alpha_stack.pop()
+            j, layer, g, clip_state = alpha_stack.pop()
             if (
                 c.alpha_layer != layer
                 or g is None
                 or alphas_of(c) != g
+                or clip_state != (c.clip_depth, tuple(clip_stack))
                 or spec.cmd_shape[j] != spec.cmd_shape[i]
                 or commands[j].n_instances != c.n_instances
             ):
@@ -1199,19 +1235,21 @@ def _gate_spans(commands, spec) -> tuple:
     if clip_stack or alpha_stack:
         return ()
     ucmd = draws.unit_cmd
+    # Frame-wide content (see the bit-exactness argument above): every
+    # unit of a non-machinery command, anywhere in the frame.
+    content_u = tuple(
+        int(u) for u in range(len(ucmd)) if not mach[ucmd[u]]
+    )
+    if not content_u:
+        return ()
     out = []
     for s, e, rp in spans:
-        content_u = tuple(
-            int(u)
-            for u in range(len(ucmd))
-            if s <= ucmd[u] < e and not mach[ucmd[u]]
-        )
         mach_u = tuple(
             int(u)
             for u in range(len(ucmd))
             if s <= ucmd[u] < e and mach[ucmd[u]]
         )
-        if content_u and mach_u:
+        if mach_u:
             out.append((content_u, mach_u, rp))
     return tuple(out)
 
@@ -1433,9 +1471,10 @@ class _SceneArrays:
         #: Unpadded triangle count per shape — _spec's density estimate
         #: sums these over the actual (command, instance) draws.
         self.tri_counts = tuple(len(s.triangles) for s in shapes)
-        #: Stroke rows (line/joint kinds) across the scene: _spec's
-        #: strip auto-tune keys on stroke dominance for sparse scenes.
-        self.stroke_rows = sum(
+        #: Per-shape stroke rows (line/joint kinds): _spec's strip
+        #: auto-tune weighs stroke dominance over the actual
+        #: (command, instance) draws, like tri_counts.
+        self.stroke_counts = tuple(
             int((np.asarray(s.triangles.kind) >= KIND_STROKE_LINE).sum())
             for s in shapes
         )
@@ -1621,6 +1660,10 @@ class Renderer:
         #: Digests of transform stacks already validated finite (a
         #: 10k-instance stack costs ~0.5 ms to re-validate per frame).
         self._finite_ok = {}
+        #: Memoized _gate_spans results (see _spec) — the analysis
+        #: walks every instance row in Python and render() derives a
+        #: spec per frame.
+        self._gate_cache = {}
         #: Per-stage counters of the last rendered frame (observability).
         self.stats = {}
 
@@ -1774,8 +1817,21 @@ class Renderer:
         # 69.1 (and clip/alpha 56.6→56.1), so sparse fill scenes stay
         # on the native (th, 128) footprint.  strips=4 loses everywhere
         # (config 3: 51.6; config 5: 59.9).
-        total_rows = max(1, sum(scene.tri_counts))
-        stroke_dom = scene.stroke_rows * 2 > total_rows
+        # Stroke dominance over the ACTUAL (command, instance) draws
+        # (a unique stroke shape instanced once must not outvote a fill
+        # shape instanced a thousand times, and vice versa).
+        inst = cmd_inst if cmd_inst else (1,) * len(ops)
+        s_rows = t_rows = 0
+        for o, entry, n in zip(ops, cmd_shape, inst):
+            if o != coverage.OP_STENCIL:
+                continue
+            if isinstance(entry, tuple):
+                s_rows += sum(scene.stroke_counts[s] for s in entry)
+                t_rows += sum(scene.tri_counts[s] for s in entry)
+            else:
+                s_rows += n * scene.stroke_counts[entry]
+                t_rows += n * scene.tri_counts[entry]
+        stroke_dom = s_rows * 2 > max(1, t_rows)
         if density >= 32768:
             auto_tile, auto_batch, auto_strips = 8, 32, 2
         elif density >= 4096:
@@ -1826,8 +1882,34 @@ class Renderer:
             has_strokes=scene.n_desc > 0,
             interpret=self._interpret_flag(),
         )
-        if commands is not None:
-            gates = _gate_spans(commands, spec)
+        if commands is not None and any(
+            o in (
+                coverage.OP_CLIP, coverage.OP_SAVE_ALPHA,
+                coverage.OP_SAVE_SCALE,
+            )
+            for o in ops
+        ):
+            # Memoized: the analysis result is a pure function of the
+            # pre-gate spec plus the per-command clip/layer/opacity
+            # fields it reads — render() calls _spec per frame, and
+            # draw_tables is O(total instance rows) in Python.
+            gkey = (
+                spec,
+                tuple(
+                    (
+                        c.clip_depth,
+                        c.alpha_layer,
+                        _machinery_alphas(c) if _is_mach_op(o) else None,
+                    )
+                    for o, c in zip(ops, commands)
+                ),
+            )
+            gates = self._gate_cache.get(gkey)
+            if gates is None:
+                gates = _gate_spans(commands, spec)
+                if len(self._gate_cache) >= 32:
+                    self._gate_cache.pop(next(iter(self._gate_cache)))
+                self._gate_cache[gkey] = gates
             if gates:
                 spec = replace(spec, gate_spans=gates)
         return spec
@@ -2515,9 +2597,10 @@ class FrameProgram:
                 with self._fuse_lock:
                     self._fused_variants[plan.signature] = (plan, variant)
 
-    def _build_variant(self, opt_commands) -> "_ProgramVariant":
-        """Compile one command-walk variant (jit is lazy: a variant
-        never dispatched never compiles)."""
+    def _variant_spec(self, opt_commands) -> coverage.FrameSpec:
+        """The FrameSpec one command-walk variant compiles against
+        (shared by _build_variant and the plan_for_motion capacity
+        scout)."""
         renderer = self._renderer
         scene = self._scene
         _, shape_index = renderer._unique_shapes(opt_commands)
@@ -2536,6 +2619,14 @@ class FrameProgram:
         spec = replace(spec, **self._caps)
         if self._uint8:
             spec = replace(spec, out_uint8=True)
+        return spec
+
+    def _build_variant(self, opt_commands) -> "_ProgramVariant":
+        """Compile one command-walk variant (jit is lazy: a variant
+        never dispatched never compiles)."""
+        renderer = self._renderer
+        scene = self._scene
+        spec = self._variant_spec(opt_commands)
         prepare = coverage.make_prepare(spec)
         rasterize = coverage.make_rasterize(spec)
 
@@ -2910,6 +3001,67 @@ class FrameProgram:
         plan = _plan_for_groups(self._opt_commands, self._runs, groupings)
         if plan is None:
             return False
+        # ---- capacity scout across the whole motion ------------------
+        # Near-plane-crossing frames clip triangles into the pool and
+        # spread huge covers across many tiles; discovering each
+        # overflow mid-animation costs a rebuild + foreground recompile
+        # per growth (measured on the 1080p orbit: four growths at
+        # ~25 s each inside the timed run = ~1 FPS).  Scout the binning
+        # over the whole path with a prepare-only executor and converge
+        # the capacities BEFORE the expensive fused compile — the
+        # motion then animates growth-free.
+        renderer = self._renderer
+        desc_f, desc_i = Renderer._pack_descriptors(self._shapes)
+        desc_static = np.ascontiguousarray(desc_i[:, [9, 8]])
+        paint_model = Renderer._pack_paints(plan.commands)
+        stride = max(1, len(stacks) // 128)
+        names = (
+            "capacity", "global_capacity", "tile_global_capacity",
+            "clip_pool",
+        )
+        grew_any = False
+        for _scout_round in range(6):
+            spec = self._variant_spec(plan.commands)
+            prep = jax.jit(coverage.make_prepare(spec))
+            ds = renderer._dev_cached("fp_desc_static", desc_static)
+            pm = (
+                None
+                if paint_model is None
+                else renderer._dev_cached("fp_paints", paint_model)
+            )
+            overflows = [
+                prep(
+                    *self._scene.arrays,
+                    np.ascontiguousarray(t[plan.gather]), ds, pm,
+                ).overflow
+                for t in stacks[::stride]
+            ]
+            worst = np.max(
+                np.stack([np.asarray(o) for o in overflows]), axis=0
+            )
+            grew = False
+            for i, name in enumerate(names):
+                if int(worst[i]) > self._caps[name]:
+                    # Exact fit (pow2-rounded): the scout already saw
+                    # the whole path's true worst, and per-tile
+                    # capacity is DMA'd every grid step — headroom
+                    # here would slow every frame of the motion.
+                    self._caps[name] = _next_pow2(int(worst[i]))
+                    grew = True
+            if not grew:
+                break
+            renderer._grow_capacities(
+                worst,
+                (
+                    renderer.tile_capacity,
+                    renderer._global_capacity,
+                    renderer._tile_global_capacity,
+                    renderer._clip_pool,
+                ),
+            )
+            grew_any = True
+        if grew_any:
+            self._build()
         self._plan = plan
         with self._fuse_lock:
             have = plan.signature in self._fused_variants
@@ -2976,7 +3128,10 @@ class FrameProgram:
                 # future program settles at the converged sizes.
                 for i, name in enumerate(names):
                     if int(worst[i]) > self._caps[name]:
-                        self._caps[name] = _next_pow2(int(worst[i]))
+                        # ×2 headroom: a camera sweep that overflowed
+                        # once tends to keep growing frame by frame,
+                        # and every growth is a rebuild + recompile.
+                        self._caps[name] = _next_pow2(int(worst[i]) * 2)
                         grew = True
                 renderer._grow_capacities(
                     worst,

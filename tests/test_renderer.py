@@ -2053,10 +2053,9 @@ class TestBracketGating:
         gated, ungated = self._render_both(commands, monkeypatch)
         assert np.array_equal(gated, ungated)
 
-    def test_unbalanced_stream_never_gates(self):
+    def _spec_of(self, commands):
         from contrast_renderer_tpu import renderer as renderer_mod
 
-        commands = self._scene()[:-1]  # drop the closing UNCLIP
         r = Renderer(
             Configuration(alpha_layer_count=1, blending="front_to_back"),
             self.W, self.H,
@@ -2064,7 +2063,7 @@ class TestBracketGating:
         opt, _ = renderer_mod._optimize_commands(commands)
         shapes, shape_index = r._unique_shapes(opt)
         _, scene = r._scene_arrays(shapes)
-        spec = r._spec(
+        return r._spec(
             tuple(int(c.operation) for c in opt),
             tuple(
                 Renderer._cmd_shape_entry(c, shape_index) for c in opt
@@ -2074,4 +2073,44 @@ class TestBracketGating:
             tuple(renderer_mod._spec_paint(c.color) for c in opt),
             commands=opt,
         )
-        assert spec.gate_spans == ()
+
+    def test_unbalanced_stream_never_gates(self):
+        commands = self._scene()[:-1]  # drop the closing UNCLIP
+        assert self._spec_of(commands).gate_spans == ()
+
+    def test_restore_after_unclip_never_gates(self):
+        """The kernel masks every alpha op with clipb == its depth, so
+        a RESTORE issued after the bracket's UNCLIP applies nowhere
+        while its SAVE applied somewhere — NOT identity.  The analysis
+        must refuse (issue-time clip state differs)."""
+        commands = self._scene()
+        restore = commands[6]
+        unclip = commands[7]
+        assert restore.operation == RenderOperation.RESTORE_ALPHA_CONTEXT
+        assert unclip.operation == RenderOperation.UNCLIP
+        reordered = commands[:6] + [
+            unclip,
+            dataclasses.replace(restore, clip_depth=0),
+        ]
+        assert self._spec_of(reordered).gate_spans == ()
+
+    def test_background_under_bracket_keeps_machinery(self, monkeypatch):
+        """With content anywhere in a tile, frame alpha under the
+        bracket can be nonzero and the float save/scale/restore chain
+        is only identity in exact arithmetic — such tiles must keep
+        their machinery.  A full-screen translucent background before
+        the bracket marks every tile as touched; gated and ungated
+        renders must stay bit-equal."""
+        identity = np.eye(4, dtype=np.float32)
+        bg = Shape([Path.from_rect((0.0, 0.0), (1.0, 1.0))])
+        commands = [
+            DrawCommand(RenderOperation.STENCIL, bg, identity),
+            DrawCommand(
+                RenderOperation.COLOR, bg, identity,
+                color=(0.2, 0.3, 0.4, 0.37),
+            ),
+        ] + self._scene()
+        spec = self._spec_of(commands)
+        assert spec.gate_spans  # analysis still derives the span
+        gated, ungated = self._render_both(commands, monkeypatch)
+        assert np.array_equal(gated, ungated)
