@@ -99,7 +99,7 @@ class ShowcaseSession:
     examples/orbit_camera.py (the reference's event-driven camera,
     main.rs:255-274)."""
 
-    def __init__(self, width, height, with_text=True):
+    def __init__(self, width, height, with_text=True, scout_frames=16):
         from contrast_renderer_tpu.models import showcase
         from contrast_renderer_tpu.renderer import Configuration, Renderer
 
@@ -117,13 +117,18 @@ class ShowcaseSession:
         # orbit so horizontal dragging dispatches the fused variant
         # immediately (other motions converge via the hysteresis in
         # _try_fused, or fall back to the sequential walk).
-        self.program.plan_for_motion(
-            [
-                self._transforms(0.1 * i, 0.0, 5.0)
-                for i in range(64)
-            ],
-            wait=False,
-        )
+        # scout_frames yaw samples cover the circle — enough for the
+        # grouping derivation and the capacity scout; CPU-only hosts
+        # (tests) pass fewer, each scout frame costs a host prepare.
+        if scout_frames:
+            step = 2.0 * math.pi / scout_frames
+            self.program.plan_for_motion(
+                [
+                    self._transforms(step * i, 0.0, 5.0)
+                    for i in range(scout_frames)
+                ],
+                wait=False,
+            )
         self._lock = threading.Lock()
 
     def _transforms(self, yaw, pitch, dist):

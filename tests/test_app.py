@@ -4,6 +4,7 @@
 import os
 
 import numpy as np
+import pytest
 
 from contrast_renderer_tpu.app import Application, CollectSink, FrameLoop
 from contrast_renderer_tpu.path import Path
@@ -91,6 +92,7 @@ class TestFrameLoop:
         assert len(sink.frames) == 3
         assert loop.timer.frame_index == 3 and loop.timer.average_s > 0
 
+    @pytest.mark.slow  # heavy compile/exec; smoke coverage stays in the fast gate
     def test_background_composite(self):
         app = MovingRectApp()
         loop = FrameLoop(app, 64, 64, background=(1.0, 1.0, 1.0, 1.0))
@@ -119,7 +121,7 @@ class TestViewerServer:
 
         size = 64
         session = viewer_server.ShowcaseSession(
-            size, size, with_text=False
+            size, size, with_text=False, scout_frames=2
         )
         server = ThreadingHTTPServer(
             ("127.0.0.1", 0), viewer_server.make_handler(session)

@@ -56,6 +56,7 @@ class TestCapacityGrowth:
 
 
 class TestDeferredCapacity:
+    @pytest.mark.slow  # heavy compile/exec; smoke coverage stays in the fast gate
     def test_deferred_growth_converges_next_frame(self):
         # strict_capacity=False defers the overflow check: the first
         # over-capacity frames may drop triangles; within two frames the
@@ -507,6 +508,7 @@ class TestStreamedDrawTables:
         assert np.array_equal(images[False], images[True])
         assert images[True][..., 3].max() > 0.5
 
+    @pytest.mark.slow  # heavy compile/exec; smoke coverage stays in the fast gate
     def test_auto_threshold_streams_many_instances(self):
         # 600 cover draws push the SMEM estimate past the budget; the
         # auto layout must pick streaming and still render correctly.

@@ -667,6 +667,7 @@ class TestDepth:
                            .render(commands))
         assert np.allclose(plain[32, 34], [0, 1, 0, 1], atol=1e-5)
 
+    @pytest.mark.slow  # heavy compile/exec; smoke coverage stays in the fast gate
     def test_greater_without_write_keeps_both(self):
         """compare=greater passes the farther-drawn shape everywhere
         (dst cleared to 1.0 never updates without write, so the nearer
@@ -683,6 +684,7 @@ class TestDepth:
         with pytest.raises(ValueError):
             Configuration(depth_compare="sometimes")
 
+    @pytest.mark.slow  # heavy compile/exec; smoke coverage stays in the fast gate
     def test_depth_inside_clip(self):
         """Depth and clip compose: inside the clip region the z-buffer
         occludes the later far draw, outside it nothing draws at all
@@ -730,6 +732,7 @@ class TestDepth:
         # Far circle inside clip past the near ink (x=45 > 42): green.
         assert np.allclose(image[32, 45], [0, 1, 0, 1], atol=1e-5)
 
+    @pytest.mark.slow  # heavy compile/exec; smoke coverage stays in the fast gate
     def test_showcase_depth_state_matches_reference_semantics(self):
         """Pin the depth decision (r2 verdict §missing 3): under the
         reference showcase's LessEqual+write state
@@ -1665,6 +1668,7 @@ class TestFrameProgramFusion:
         ).render(commands)
         assert np.array_equal(np.asarray(program()), want)
 
+    @pytest.mark.slow  # heavy compile/exec; smoke coverage stays in the fast gate
     def test_camera_motion_regroups_when_covers_touch(self):
         shape = Shape([Path.from_circle((8.0, 8.0), 7.0)])
         commands = self._commands(shape, [(0.0, 0.0), (40.0, 0.0)])
@@ -1693,6 +1697,7 @@ class TestFrameProgramFusion:
         )
         assert program._plan is not None
 
+    @pytest.mark.slow  # heavy compile/exec; smoke coverage stays in the fast gate
     def test_partial_overlap_regroups_into_disjoint_groups(self):
         """Three instances where the second overlaps the first: the
         derived grouping splits render()-style — (first) + (second,
@@ -1740,6 +1745,7 @@ class TestFrameProgramFusion:
         assert program._plan is not None
         assert program._plan.signature == plan.signature
 
+    @pytest.mark.slow  # heavy compile/exec; smoke coverage stays in the fast gate
     def test_render_sequence_falls_back_across_segment(self):
         shape = Shape([Path.from_circle((8.0, 8.0), 7.0)])
         commands = self._commands(shape, [(0.0, 0.0), (40.0, 0.0)])
@@ -1755,6 +1761,7 @@ class TestFrameProgramFusion:
         assert np.array_equal(frames[0], seq.render(commands))
         assert np.array_equal(frames[1], seq.render(moved))
 
+    @pytest.mark.slow  # heavy compile/exec; smoke coverage stays in the fast gate
     def test_uniform_opaque_color_fuses_despite_overlap(self):
         """A run painting ONE opaque color fuses whole even where
         covers overlap (idempotent blend, no depth, uniform
@@ -1776,6 +1783,7 @@ class TestFrameProgramFusion:
         ).render(commands)
         assert np.array_equal(np.asarray(program()), want)
 
+    @pytest.mark.slow  # heavy compile/exec; smoke coverage stays in the fast gate
     def test_translucent_uniform_color_never_escapes(self):
         shape = Shape([Path.from_circle((8.0, 8.0), 7.0)])
         commands = []
@@ -1789,6 +1797,7 @@ class TestFrameProgramFusion:
         # degenerates to singles, no fused variant.
         assert program._plan is None
 
+    @pytest.mark.slow  # heavy compile/exec; smoke coverage stays in the fast gate
     def test_mismatched_pair_rows_disable_fusion(self):
         """A caller stack whose stencil and cover rows differ must
         never dispatch a fused variant (fused draws share one
@@ -1804,6 +1813,7 @@ class TestFrameProgramFusion:
         ) is None
         assert program._derive_plan(transforms) is None
 
+    @pytest.mark.slow  # heavy compile/exec; smoke coverage stays in the fast gate
     def test_auto_instance_off_compiles_no_fused_variant(self):
         shape = Shape([Path.from_circle((6.0, 6.0), 5.0)])
         commands = self._commands(shape, [(0.0, 0.0), (20.0, 0.0)])
@@ -1844,6 +1854,7 @@ class TestFrameProgramFusion:
             assert program._plan.signature == sig
             assert not program._compiling
 
+    @pytest.mark.slow  # heavy compile/exec; smoke coverage stays in the fast gate
     def test_plan_for_motion_excludes_colliding_pairs(self):
         """A pair that collides with its group-mate in ANY frame of
         the motion is excluded from that group; the rest still fuse."""
@@ -1870,6 +1881,7 @@ class TestFrameProgramFusion:
             np.asarray(program(far)), seq.render(commands)
         )
 
+    @pytest.mark.slow  # heavy compile/exec; smoke coverage stays in the fast gate
     def test_fully_behind_pair_fuses_as_empty_cover(self):
         """A pair whose hull lands fully behind the camera in some
         frame draws NOTHING there (the kernel's near-plane clip yields
@@ -1908,6 +1920,7 @@ class TestFrameProgramFusion:
                 np.asarray(program(tf)), seq.render(cmds)
             )
 
+    @pytest.mark.slow  # heavy compile/exec; smoke coverage stays in the fast gate
     def test_near_plane_crossing_pair_fuses_when_clipped_cover_disjoint(self):
         """A pair whose hull CROSSES the near plane used to veto any
         grouping containing it (its projection was 'not well-defined').
@@ -1957,7 +1970,7 @@ class TestBracketGating:
     provably identity there — usually onto the empty-tile fast path.
     Each case compares against a gating-disabled render bit-exactly."""
 
-    W = H = 256  # several tiles in each direction
+    W = H = 128  # a handful of tiles (4 rows x 1 col)
 
     def _scene(self, content_transform=None, unclip_transform=None):
         """Nested clip + alpha group over a full-viewport rect, with a
@@ -2041,6 +2054,7 @@ class TestBracketGating:
         # the content tiles).
         assert gated[..., 3].max() > 0.0
 
+    @pytest.mark.slow  # heavy compile/exec; smoke coverage stays in the fast gate
     def test_mismatched_bracket_rows_disable_gating_at_runtime(
         self, monkeypatch
     ):
@@ -2094,6 +2108,7 @@ class TestBracketGating:
         ]
         assert self._spec_of(reordered).gate_spans == ()
 
+    @pytest.mark.slow  # heavy compile/exec; smoke coverage stays in the fast gate
     def test_background_under_bracket_keeps_machinery(self, monkeypatch):
         """With content anywhere in a tile, frame alpha under the
         bracket can be nonzero and the float save/scale/restore chain

@@ -39,6 +39,7 @@ class TestShowcase:
         # The dashed rounded-rect stroke leaves visible pixels.
         assert (image[..., 3] > 0.1).sum() > 20
 
+    @pytest.mark.slow  # heavy compile/exec; smoke coverage stays in the fast gate
     def test_clip_alpha_variant(self, shape):
         """The clipped/grouped showcase (BASELINE config 5 as written):
         outside the nested clips nothing renders; inside, front-to-back
@@ -74,6 +75,7 @@ class TestShowcase:
         )
         assert diff.max() < 1e-5
 
+    @pytest.mark.slow  # heavy compile/exec; smoke coverage stays in the fast gate
     def test_clip_alpha_instanced_variant(self, shape):
         """The clipped/grouped showcase with ONE instanced stencil/color
         pair: same clip gating, group scaling applies, and the command
@@ -95,6 +97,7 @@ class TestShowcase:
         # Content renders inside the clip.
         assert (image[..., 3] > 0.01).sum() > 50
 
+    @pytest.mark.slow  # heavy compile/exec; smoke coverage stays in the fast gate
     def test_frame_program_matches_render(self, shape):
         """The fused FrameProgram (one dispatch, transforms as runtime
         input) renders the same pixels as Renderer.render for moved
@@ -123,6 +126,7 @@ class TestShowcase:
         for c, t in zip(commands, base):
             c.transform = t
 
+    @pytest.mark.slow  # heavy compile/exec; smoke coverage stays in the fast gate
     def test_dash_phase_animates(self, shape):
         size = 96
         renderer = Renderer(Configuration(), size, size)

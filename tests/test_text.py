@@ -479,6 +479,7 @@ class TestTextCommandsFused:
         fused = Renderer(Configuration(), 256, 256).render(commands)
         assert np.array_equal(mono, fused)
 
+    @pytest.mark.slow  # heavy compile/exec; smoke coverage stays in the fast gate
     def test_translucent_color_matches_monolith(self, font):
         """Translucent text is where per-glyph covers diverge from the
         monolith (overlap double-paints); the fused form must match the
